@@ -1,0 +1,98 @@
+"""spark-submit entry point: replay/tail a transcript-CDC WAL into the lake.
+
+Usage (local sandbox):
+    python jobs/run_cdc.py --wal-dir /path/wal --table /path/table \
+        --checkpoint /path/ckpt [--mode stream|batch] [--buckets 32]
+        [--validation full] [--gen-events N]   # optionally generate a demo WAL
+
+Cluster packaging (BASELINE.json:14):
+    zip -r engine.zip nifi_daffodil_spark
+    spark-submit --py-files engine.zip jobs/run_cdc.py --wal-dir ... \
+        [--sink iceberg --table lake.db.transcripts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local runs without --py-files: make the repo root importable
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--wal-dir", required=True)
+    ap.add_argument("--table", required=True, help="sink root dir (parquet) or iceberg table name")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    ap.add_argument("--sink", choices=["parquet", "iceberg"], default="parquet")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--validation", choices=["off", "limited", "full"], default="full")
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--gen-events", type=int, default=0,
+                    help="generate a deterministic demo WAL of N events first")
+    args = ap.parse_args(argv)
+
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+    from nifi_daffodil_spark.session import build_session
+
+    if args.gen_events:
+        from nifi_daffodil_spark.fixtures.walgen import WalSpec, generate_wal
+
+        man = generate_wal(args.wal_dir, WalSpec(n_events=args.gen_events))
+        print(f"generated WAL: {len(man['v0']) + len(man['v1'])} segments, "
+              f"{man['n_events']} events under {args.wal_dir}")
+
+    spark = build_session(app_name="cdc-ingest", cores=args.cores)
+    cfg = EngineConfig(
+        validation_mode=args.validation, n_buckets=args.buckets, n_salt=args.salt
+    )
+    if args.sink == "iceberg":
+        from nifi_daffodil_spark.sinks.iceberg import IcebergMergeSink
+
+        sink = IcebergMergeSink(spark, args.table, args.buckets, args.salt)
+    else:
+        from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+        sink = ParquetStateSink(spark, args.table, n_buckets=args.buckets)
+
+    eng = CdcEngine(spark, sink, cfg)
+    if args.mode == "stream":
+        q = eng.run_stream(
+            args.wal_dir,
+            args.checkpoint,
+            available_now=True,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+    else:
+        from nifi_daffodil_spark.sources.wal import read_wal_dir
+
+        eng.process_batch(read_wal_dir(spark, args.wal_dir), 0)
+
+    n = sink.read_transcripts().count()
+    applied = [s for s in eng.stats if not s.skipped]
+    summary = {
+        "epochs_applied": len(applied),
+        "epochs_skipped": len(eng.stats) - len(applied),
+        "rows_in_table": n,
+        "rows_quarantined": sum(s.rows_quarantined for s in eng.stats),
+        "events_per_sec_median": sorted(s.events_per_sec for s in applied)[len(applied) // 2]
+        if applied
+        else 0.0,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

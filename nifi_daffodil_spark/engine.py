@@ -1,0 +1,171 @@
+"""CdcEngine — the per-batch pipeline and replay/stream drivers.
+
+Per micro-batch (SURVEY.md §3.4; reference record path §3.1 re-expressed
+columnar):
+
+    align (schema evolution)                 ≈ per-record schema selection
+    -> validate (tiered check expressions)   ≈ Daffodil validation modes
+    -> split valid / quarantine              ≈ success/failure relationships
+    -> LWW dedup window                      (north-rule mandated shape)
+    -> normalize text (Arrow pandas UDF)     ≈ parse/unparse canonicalization
+    -> bucket + salt repartition             (explicit skew handling)
+    -> sink.apply_batch: idempotent MERGE    ≈ session commit, @SideEffectFree
+    -> lineage + metrics per bucket          ≈ provenance events
+
+Plan hygiene: everything upstream of the normalize UDF is whole-stage
+codegen; the UDF is one Arrow exchange; the only wide shuffles are the dedup
+window and the merge repartition, both keyed to include turn_idx so a hot
+conv_id cannot pin a partition.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nifi_daffodil_spark.config import EngineConfig
+from nifi_daffodil_spark.functions.normalize import normalize_text_udf
+from nifi_daffodil_spark.operators.dedup import lww_dedup
+from nifi_daffodil_spark.operators.evolution import align_events
+from nifi_daffodil_spark.operators.validate import split_valid, with_validation
+from nifi_daffodil_spark.sinks.base import TranscriptSink
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    rows_in: int = 0
+    rows_applied: int = 0
+    rows_quarantined: int = 0
+    wall_ms: int = 0
+    skipped: bool = False
+    snapshot_id: str | None = None
+    events_per_sec: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, sink: TranscriptSink, config: EngineConfig | None = None):
+        self.spark = spark
+        self.sink = sink
+        self.config = config or EngineConfig()
+        self.stats: list[EpochStats] = []
+
+    # ---- the per-batch pipeline ------------------------------------------
+
+    def prepare_batch(self, events: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """raw events -> (merge-ready batch, quarantine). No actions taken."""
+        cfg = self.config
+        ev = align_events(events)
+        validated = with_validation(ev, cfg.validation_mode, cfg.max_text_len)
+        valid, quarantine = split_valid(validated)
+        deduped = lww_dedup(valid)  # before the UDF: normalize only winners
+        normalized = deduped.withColumn("text", normalize_text_udf(F.col("text")))
+        batch = (
+            normalized.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
+            )
+            # explicit hot-key spreading: shuffle by (bucket, per-turn salt)
+            .withColumn(
+                "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.n_salt))
+            )
+            .repartition("bucket", "_salt")
+            .drop("_salt")
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "op", "bucket")
+        )
+        return batch, quarantine
+
+    def process_batch(self, events: DataFrame, epoch_id: int) -> EpochStats:
+        t0 = time.monotonic()
+        if self.sink.epoch_applied(epoch_id):
+            st = EpochStats(epoch=epoch_id, skipped=True)
+            self.stats.append(st)
+            return st
+
+        batch, quarantine = self.prepare_batch(events)
+        batch = batch.persist()
+        quarantine = quarantine.persist()
+        try:
+            # per-bucket lineage in ONE distributed pass (provenance analog)
+            lin_rows = batch.groupBy("bucket").agg(
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_applied"),
+            )
+            n_quar = quarantine.count()
+            lineage = lin_rows.select(
+                F.lit(int(epoch_id)).alias("epoch"),
+                F.col("bucket"),
+                "lsn_min",
+                "lsn_max",
+                "rows_in",
+                "rows_applied",
+                F.lit(int(n_quar)).alias("rows_quarantined"),
+                F.lit(None).cast("string").alias("snapshot_id"),
+                F.lit(int((time.monotonic() - t0) * 1000)).alias("wall_ms"),
+            )
+            commit = self.sink.apply_batch(batch, epoch_id, quarantine, lineage)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            rows_in = batch.count()
+            st = EpochStats(
+                epoch=int(epoch_id),
+                rows_in=rows_in,
+                rows_applied=rows_in,  # unique keys shipped to MERGE
+                rows_quarantined=n_quar,
+                wall_ms=wall_ms,
+                skipped=bool(commit.get("skipped")),
+                snapshot_id=commit.get("snapshot_id"),
+                events_per_sec=(rows_in + n_quar) / max(wall_ms / 1000.0, 1e-9),
+            )
+            self.stats.append(st)
+            return st
+        finally:
+            batch.unpersist()
+            quarantine.unpersist()
+
+    # ---- batch replay -----------------------------------------------------
+
+    def replay_segments(self, segment_groups: list[tuple[list[str], str]],
+                        start_epoch: int = 0) -> list[EpochStats]:
+        """Replay the WAL as a sequence of epochs.
+
+        segment_groups: list of (paths, schema_version) per epoch, in log order.
+        """
+        from nifi_daffodil_spark.sources.wal import read_wal_batch
+
+        out = []
+        for i, (paths, version) in enumerate(segment_groups):
+            events = read_wal_batch(self.spark, paths, version)
+            out.append(self.process_batch(events, start_epoch + i))
+        return out
+
+    # ---- streaming --------------------------------------------------------
+
+    def run_stream(
+        self,
+        wal_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int = 1,
+    ):
+        """Tail the WAL dirs; exactly-once via checkpoint + idempotent epochs."""
+        from nifi_daffodil_spark.sources.wal import read_wal_stream
+
+        stream = read_wal_stream(self.spark, wal_dir, max_files_per_trigger)
+
+        def _apply(df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(df, epoch_id)
+
+        writer = stream.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        return q

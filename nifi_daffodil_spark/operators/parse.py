@@ -1,0 +1,80 @@
+"""Schema-driven parse of enveloped payloads + exactly-consumed check.
+
+Reference: DaffodilParse.processWithDaffodil (DaffodilParse.java:83-100) —
+parse bytes into a typed infoset, fail on error, and fail if ANY input is
+left over (bits consumed != content length, DaffodilParse.java:92-98;
+leftover.bin test TestDaffodilProcessor.java:295-304).
+
+Engine mapping: `from_json(payload, PAYLOAD_SCHEMA)` is the schema-driven
+parse (JVM-side, codegen); the exactly-consumed guard is
+`length(payload) == payload_len`. Parse failures (from_json -> null struct)
+and leftover violations route to quarantine with the original payload
+verbatim. The inverse — `unparse_infoset` — renders the typed struct back
+with to_json (DaffodilUnparse.java:83-92 analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nifi_daffodil_spark.schemas import PAYLOAD_SCHEMA
+
+
+def parse_envelope(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(parsed_events, quarantine) from an enveloped WAL frame.
+
+    parsed_events has the typed EVENT shape (role/text/tool lifted from the
+    payload struct); quarantine carries PARSE_ERROR / LEFTOVER_DATA rows with
+    the raw payload untouched.
+    """
+    p = df.withColumn("_infoset", F.from_json(F.col("payload"), PAYLOAD_SCHEMA))
+    p = p.withColumn(
+        "_error",
+        F.when(F.length("payload") != F.col("payload_len"), F.lit("LEFTOVER_DATA"))
+        .when(F.col("payload").isNotNull() & F.col("_infoset").isNull(), F.lit("PARSE_ERROR"))
+        # from_json returns a struct of all-nulls (not null) for some bad JSON:
+        .when(
+            F.col("_infoset.role").isNull()
+            & F.col("_infoset.text").isNull()
+            & F.col("_infoset.tool").isNull(),
+            F.lit("PARSE_ERROR"),
+        )
+        .otherwise(F.lit(None)),
+    )
+    ok = p.filter(F.col("_error").isNull()).select(
+        "lsn",
+        "op",
+        "conv_id",
+        "turn_idx",
+        F.col("_infoset.role").alias("role"),
+        F.col("_infoset.text").alias("text"),
+        F.col("_infoset.tool").alias("tool"),
+        "ts",
+    )
+    bad = p.filter(F.col("_error").isNotNull()).select(
+        "lsn", F.col("payload").alias("raw"), F.col("_error").alias("error")
+    )
+    return ok, bad
+
+
+def unparse_infoset(df: DataFrame, fmt: str = "json"):
+    """Inverse serialization of the typed turn (DaffodilUnparse analog).
+
+    json -> to_json struct; xml -> deterministic tagged rendering via
+    concat (Spark has no to_xml builtin; the layout is fixed by tests).
+    """
+    s = F.struct(F.col("role"), F.col("text"), F.col("tool"))
+    if fmt == "json":
+        return F.to_json(s)
+    if fmt == "xml":
+        return F.concat(
+            F.lit("<turn><role>"),
+            F.coalesce(F.col("role"), F.lit("")),
+            F.lit("</role><text>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</text><tool>"),
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.lit("</tool></turn>"),
+        )
+    raise ValueError(f"unknown infoset format: {fmt!r}")

@@ -1,0 +1,138 @@
+"""Iceberg MERGE INTO sink — the production path (import/config gated).
+
+The sandbox image carries no Iceberg runtime jars, so this class raises
+``IcebergUnavailableError`` at construction unless the session actually has
+the Iceberg SQL extensions loaded. The implementation is complete and is the
+one a real cluster would run via::
+
+    spark-submit --py-files engine.zip \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      jobs/run_cdc.py
+
+Scale design (SURVEY.md §4 custom items 1-2, 5):
+  * table partitioned `bucket(N, conv_id)` so MERGE touches bounded file sets
+  * source repartitioned by (bucket, salt) before MERGE — explicit hot-key
+    spreading on Zipf conv_id, with AQE skew-join as the safety net
+  * exactly-once: epoch id stamped into the snapshot summary
+    (`snapshot-property.engine.epoch`); apply checks the summary log first
+  * MERGE guard `s.lsn > t.lsn` makes late/out-of-order replays harmless
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nifi_daffodil_spark.sinks.base import TranscriptSink
+
+EPOCH_PROP = "engine.epoch"
+
+
+class IcebergUnavailableError(RuntimeError):
+    pass
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" not in ext:
+            return False
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018 — probe the classpath
+        return True
+    except Exception:
+        return False
+
+
+class IcebergMergeSink(TranscriptSink):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        n_buckets: int = 32,
+        n_salt: int = 8,
+    ):
+        if not iceberg_available(spark):
+            raise IcebergUnavailableError(
+                "Iceberg runtime not on the classpath; use ParquetStateSink "
+                "in environments without the iceberg-spark-runtime jars"
+            )
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.n_salt = n_salt
+        spark.sql(
+            f"""
+            CREATE TABLE IF NOT EXISTS {table} (
+              conv_id string, turn_idx int, role string, text string,
+              tool string, ts timestamp, lsn bigint
+            ) USING iceberg
+            PARTITIONED BY (bucket({n_buckets}, conv_id))
+            TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+                           'write.distribution-mode'='hash')
+            """
+        )
+
+    def _applied_epochs(self) -> set[str]:
+        rows = self.spark.sql(
+            f"SELECT summary['{EPOCH_PROP}'] AS e FROM {self.table}.snapshots"
+        ).collect()
+        return {r["e"] for r in rows if r["e"] is not None}
+
+    def epoch_applied(self, epoch_id: int) -> bool:
+        return str(epoch_id) in self._applied_epochs()
+
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        quarantine: DataFrame | None = None,
+        lineage: DataFrame | None = None,
+    ) -> dict:
+        if self.epoch_applied(epoch_id):
+            return {"skipped": True, "epoch": epoch_id}
+        # explicit skew spreading: shuffle source by (bucket, per-turn salt)
+        src = batch.withColumn(
+            "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.n_salt))
+        ).repartition("bucket", "_salt").drop("_salt")
+        src.createOrReplaceTempView("_cdc_batch_src")
+        self.spark.conf.set(
+            f"spark.wap.snapshot-property.{EPOCH_PROP}", str(epoch_id)
+        )
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.table} t
+            USING _cdc_batch_src s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' AND s.lsn > t.lsn THEN DELETE
+            WHEN MATCHED AND s.op <> 'D' AND s.lsn > t.lsn THEN UPDATE SET
+              t.role = s.role, t.text = s.text, t.tool = s.tool,
+              t.ts = s.ts, t.lsn = s.lsn
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT
+              (conv_id, turn_idx, role, text, tool, ts, lsn)
+              VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.lsn)
+            """
+        )
+        return {"skipped": False, "epoch": epoch_id}
+
+    def read_transcripts(self) -> DataFrame:
+        return self.spark.table(self.table).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+
+    def evolve_schema(self, batch: DataFrame) -> None:
+        """In-flight evolution: add columns the batch has but the table lacks
+        (string/long/int/timestamp only), widen int -> bigint."""
+        table_cols = {f.name: f.dataType.simpleString() for f in self.spark.table(self.table).schema}
+        for f in batch.schema:
+            if f.name in ("op", "bucket"):
+                continue
+            if f.name not in table_cols:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} ADD COLUMN {f.name} {f.dataType.simpleString()}"
+                )
+            elif table_cols[f.name] == "int" and f.dataType.simpleString() == "bigint":
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} ALTER COLUMN {f.name} TYPE bigint"
+                )

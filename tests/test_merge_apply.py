@@ -1,0 +1,136 @@
+import datetime as dt
+
+from nifi_daffodil_spark.config import EngineConfig
+from nifi_daffodil_spark.engine import CdcEngine
+from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx long, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def _engine(spark, tmp_path, **cfg):
+    sink = ParquetStateSink(spark, str(tmp_path / "table"), n_buckets=8)
+    return CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4, **cfg))
+
+
+def test_upsert_delete_across_epochs(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(
+            spark,
+            [
+                (1, "I", "a", 0, "user", "hello", None, TS),
+                (2, "I", "a", 1, "assistant", "hi", None, TS),
+                (3, "I", "b", 0, "user", "yo", None, TS),
+            ],
+        ),
+        epoch_id=0,
+    )
+    eng.process_batch(
+        _events(
+            spark,
+            [
+                (4, "U", "a", 1, "assistant", "hi v2", "search", TS),
+                (5, "D", "b", 0, None, None, None, TS),
+                (6, "I", "c", 0, "user", "new conv", None, TS),
+            ],
+        ),
+        epoch_id=1,
+    )
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in eng.sink.read_transcripts().collect()
+    }
+    assert set(rows) == {("a", 0), ("a", 1), ("c", 0)}
+    assert rows[("a", 1)]["text"] == "hi v2"
+    assert rows[("a", 1)]["tool"] == "search"
+
+
+def test_idempotent_epoch_replay(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    df = _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS)])
+    eng.process_batch(df, epoch_id=0)
+    before = eng.sink._read_manifest()
+    st = eng.process_batch(
+        _events(spark, [(99, "U", "a", 0, "user", "SHOULD NOT APPLY", None, TS)]),
+        epoch_id=0,  # same epoch replayed with different content
+    )
+    assert st.skipped
+    assert eng.sink._read_manifest() == before
+    assert eng.sink.read_transcripts().collect()[0]["text"] == "v1"
+
+
+def test_late_smaller_lsn_never_overwrites(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(_events(spark, [(10, "U", "a", 0, "user", "newer", None, TS)]), 0)
+    eng.process_batch(_events(spark, [(5, "U", "a", 0, "user", "older-late", None, TS)]), 1)
+    rows = eng.sink.read_transcripts().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "newer"
+    # and a late DELETE with a smaller lsn must not delete either
+    eng.process_batch(_events(spark, [(7, "D", "a", 0, None, None, None, TS)]), 2)
+    assert eng.sink.read_transcripts().count() == 1
+
+
+def test_delete_then_reinsert(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(_events(spark, [(1, "I", "a", 0, "user", "v1", None, TS)]), 0)
+    eng.process_batch(_events(spark, [(2, "D", "a", 0, None, None, None, TS)]), 1)
+    assert eng.sink.read_transcripts().count() == 0
+    eng.process_batch(_events(spark, [(3, "I", "a", 0, "user", "back", None, TS)]), 2)
+    rows = eng.sink.read_transcripts().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "back"
+
+
+def test_only_touched_buckets_rewritten(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    big = [(i, "I", f"conv-{i}", 0, "user", f"t{i}", None, TS) for i in range(200)]
+    eng.process_batch(_events(spark, big), 0)
+    m0 = eng.sink._read_manifest()
+    # one-key epoch touches exactly one bucket
+    eng.process_batch(_events(spark, [(1000, "U", "conv-7", 0, "user", "u", None, TS)]), 1)
+    m1 = eng.sink._read_manifest()
+    moved = [b for b in m0["buckets"] if m0["buckets"][b] != m1["buckets"].get(b)]
+    assert len(moved) == 1
+    assert eng.sink.read_transcripts().count() == 200
+
+
+def test_vacuum_removes_unreferenced_snapshots(spark, tmp_path):
+    import os
+
+    eng = _engine(spark, tmp_path)
+    for e in range(6):
+        eng.process_batch(
+            _events(spark, [(e, "U", "a", 0, "user", f"v{e}", None, TS)]), e
+        )
+    removed = eng.sink.vacuum(keep_last=1)
+    assert removed
+    data = os.listdir(os.path.join(eng.sink.root, "data"))
+    assert set(eng.sink._read_manifest()["buckets"].values()) <= set(data)
+    assert eng.sink.read_transcripts().collect()[0]["text"] == "v5"
+
+
+def test_lineage_and_quarantine_written(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(
+            spark,
+            [
+                (1, "I", "a", 0, "user", "ok", None, TS),
+                (2, "I", None, 0, "user", "bad", None, TS),
+            ],
+        ),
+        0,
+    )
+    lin = eng.sink.read_lineage().collect()
+    assert len(lin) >= 1
+    assert all(r["epoch"] == 0 for r in lin)
+    assert sum(r["rows_in"] for r in lin) == 1
+    q = eng.sink.read_quarantine().collect()
+    assert len(q) == 1 and q[0]["error"] == "NULL_CONV_ID" and q[0]["epoch"] == 0

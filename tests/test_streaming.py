@@ -1,0 +1,103 @@
+"""Structured Streaming: WAL tail, checkpoint resume, exactly-once epochs."""
+
+import shutil
+
+from conftest import SPEC, assert_frames_equal
+
+from nifi_daffodil_spark.config import EngineConfig
+from nifi_daffodil_spark.engine import CdcEngine
+from nifi_daffodil_spark.fixtures.oracle import replay_oracle
+from nifi_daffodil_spark.fixtures.walgen import generate_wal
+from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+
+def _engine(spark, root):
+    sink = ParquetStateSink(spark, str(root / "table"), n_buckets=16)
+    return CdcEngine(spark, sink, EngineConfig(n_buckets=16))
+
+
+def test_stream_full_replay_matches_oracle(spark, tmp_path, wal):
+    eng = _engine(spark, tmp_path)
+    q = eng.run_stream(wal["dir"], str(tmp_path / "ckpt"), available_now=True,
+                       max_files_per_trigger=2)
+    q.awaitTermination(300)
+    expected, n_quar = replay_oracle(wal["v0"] + wal["v1"])
+    assert_frames_equal(
+        eng.sink.read_transcripts().orderBy("conv_id", "turn_idx"), expected
+    )
+    assert eng.sink.read_quarantine().count() == n_quar
+    # multiple micro-batch epochs actually happened + lineage emitted for them
+    epochs = set(eng.sink._read_manifest()["epochs"])
+    assert len(epochs) >= 2
+    lin_epochs = {r["epoch"] for r in eng.sink.read_lineage().select("epoch").distinct().collect()}
+    assert lin_epochs == {int(e) for e in epochs}
+
+
+def test_resume_from_checkpoint_after_kill(spark, tmp_path):
+    """Process half the WAL, 'kill', add the rest, restart same checkpoint."""
+    wal_dir = tmp_path / "wal2"
+    man = generate_wal(str(wal_dir), SPEC)
+    # stash the v1 segments outside the watched dirs
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    moved = []
+    for p in man["v1"]:
+        dest = stash / p.split("/")[-1]
+        shutil.move(p, dest)
+        moved.append((dest, p))
+
+    eng = _engine(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt2")
+    q = eng.run_stream(str(wal_dir), ckpt, available_now=True)
+    q.awaitTermination(300)
+    epochs_before = set(eng.sink._read_manifest()["epochs"])
+    assert eng.sink.read_transcripts().count() > 0
+
+    # segments arrive while the job is down; restart from the same checkpoint
+    for dest, orig in moved:
+        shutil.move(str(dest), orig)
+    q2 = eng.run_stream(str(wal_dir), ckpt, available_now=True)
+    q2.awaitTermination(300)
+
+    expected, _ = replay_oracle(man["v0"] + man["v1"])
+    assert_frames_equal(
+        eng.sink.read_transcripts().orderBy("conv_id", "turn_idx"), expected
+    )
+    # old epochs were not re-applied (exactly-once), new epochs appended
+    epochs_after = set(eng.sink._read_manifest()["epochs"])
+    assert epochs_before < epochs_after
+
+    # a third run with nothing new must be a complete no-op
+    manifest = eng.sink._read_manifest()
+    q3 = eng.run_stream(str(wal_dir), ckpt, available_now=True)
+    q3.awaitTermination(300)
+    assert eng.sink._read_manifest() == manifest
+
+
+def test_skewed_hot_key_correct_and_spread(spark, tmp_path):
+    """50% of events on one conv_id: result still exact, and the merge-ready
+    batch is spread across partitions (no single-partition pileup)."""
+    from nifi_daffodil_spark.fixtures.walgen import WalSpec
+    from nifi_daffodil_spark.sources.wal import read_wal_dir
+
+    spec = WalSpec(n_events=6000, n_convs=50, n_segments=2, seed=9, hot_frac=0.5)
+    wal_dir = tmp_path / "walskew"
+    man = generate_wal(str(wal_dir), spec)
+    eng = _engine(spark, tmp_path)
+    events = read_wal_dir(spark, str(wal_dir))
+    # AQE rightly coalesces this tiny shuffle to one partition; disable it to
+    # observe the partitioning the same plan produces at scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        batch, _ = eng.prepare_batch(events)
+        sizes = batch.rdd.glom().map(len).collect()
+        total = sum(sizes)
+        assert total > 0
+        assert max(sizes) < 0.5 * total, f"hot key piled up: {sizes}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    eng.process_batch(events, 0)
+    expected, _ = replay_oracle(man["v0"] + man["v1"])
+    assert_frames_equal(
+        eng.sink.read_transcripts().orderBy("conv_id", "turn_idx"), expected
+    )
