@@ -1,0 +1,844 @@
+"""Driver-contract queries: Spark DataFrame implementations + DuckDB oracles.
+
+Every operator from SURVEY.md §2.b (and the training-data-pipeline set) gets
+a `queries()` entry and — where ANSI-SQL-expressible — an `oracle_sql()`
+entry the driver runs on DuckDB over the same parquet. Conventions that make
+the value-hash comparison deterministic across engines:
+
+  * identical column aliases on both sides
+  * money-like sums go through DECIMAL(18,4) (exact), then round+cast double
+  * integer divisions stay integer; ratios are double with identical
+    operation order
+  * md5() is the portable hash (same hex string in Spark and DuckDB) for
+    fingerprints, minhash and simhash
+  * top-k always carries a total tiebreak ordering
+
+The CDC mapping onto the driver's `events` table: lsn := event_id,
+key := (user_id, event_type), tombstone := op derived from event_type.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = "('" + "','".join(EN_STOPWORDS) + "')"
+
+N_MINHASH = 16  # r=1, b=16 LSH bands: P(candidate) = 1-(1-s)^16
+JACCARD_T = 0.5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC-core operators (SURVEY.md §2.a/§2.b) expressed over `events`
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_dedup(spark, sf_dir):
+    """LWW dedup window (inventory: dedup; BASELINE.json row_number shape)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("lsn"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+O_CDC_LWW = """
+SELECT user_id, event_type, event_id AS lsn, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_cdc_route_validation(spark, sf_dir):
+    """Validation + success/failure routing (inventory #10/#15) as a
+    status split with per-status counts."""
+    ev = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("value") < 0, F.lit("NEGATIVE_VALUE"))
+        .when(~F.col("event_type").isin(*EVENT_TYPES), F.lit("BAD_TYPE"))
+        .when(F.col("props").isNull(), F.lit("NULL_PROPS"))
+        .otherwise(F.lit("OK"))
+    )
+    return (
+        ev.withColumn("status", status)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_lsn"))
+    )
+
+
+O_CDC_ROUTE = f"""
+SELECT CASE WHEN value < 0 THEN 'NEGATIVE_VALUE'
+            WHEN event_type NOT IN ('{"','".join(EVENT_TYPES)}') THEN 'BAD_TYPE'
+            WHEN props IS NULL THEN 'NULL_PROPS'
+            ELSE 'OK' END AS status,
+       count(*) AS n, min(event_id) AS first_lsn
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics as union + LWW (inventory: joins/MERGE).
+    base = state before lsn 5000, delta = the rest; final last-state."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") < 5000)
+    delta = ev.filter(F.col("event_id") >= 5000)
+    merged = base.unionByName(delta)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("live_keys"), F.max("event_id").alias("max_lsn"))
+    )
+
+
+O_CDC_MERGE = """
+SELECT user_id, count(*) AS live_keys, max(event_id) AS max_lsn
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1 GROUP BY user_id
+"""
+
+
+def q_cdc_delete_apply(spark, sf_dir):
+    """Tombstone application: treat event_type='error' as op=D; keys whose
+    LAST event is a delete disappear (anti-join fallback-sink path)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    last = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        last.filter(F.col("event_type") != "error")
+        .select("user_id", F.col("event_id").alias("lsn"), "event_type")
+    )
+
+
+O_CDC_DELETE = """
+SELECT user_id, event_id AS lsn, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_epoch_metrics(spark, sf_dir):
+    """Per-epoch lineage aggregates (inventory #17): epoch := lsn div 1000."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("epoch", (F.col("event_id") / 1000).cast("long"))
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+O_CDC_EPOCH = """
+SELECT CAST(event_id // 1000 AS BIGINT) AS epoch, count(*) AS rows_in,
+       min(event_id) AS lsn_min, max(event_id) AS lsn_max,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_gap_analysis(spark, sf_dir):
+    """lag/lead turn-ordering check (inventory: window functions)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = ev.withColumn("gap", F.col("event_id") - F.lag("event_id").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.max("gap").alias("max_gap"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+O_CDC_GAP = """
+SELECT user_id, max(gap) AS max_gap, count(*) AS n_events
+FROM (SELECT user_id, event_id - lag(event_id) OVER
+        (PARTITION BY user_id ORDER BY event_id) AS gap FROM events)
+GROUP BY user_id
+"""
+
+
+def q_cdc_hot_keys_topk(spark, sf_dir):
+    """Top-k hot keys for skew reports (inventory: sorts/limits/top-k)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+O_CDC_HOTK = """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_cdc_exactly_consumed(spark, sf_dir):
+    """Exactly-consumed batch invariant (inventory #6): rows_in ==
+    rows_ok + rows_rejected, as a single audit row."""
+    ev = _t(spark, sf_dir, "events")
+    ok = F.col("value") >= 0
+    return ev.agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("rows_ok"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("rows_rejected"),
+        (F.count(F.lit(1))
+         - F.sum(F.when(ok, 1).otherwise(0))
+         - F.sum(F.when(~ok, 1).otherwise(0))).alias("leftover"),
+    )
+
+
+O_CDC_CONSUMED = """
+SELECT count(*) AS rows_in,
+       CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_ok,
+       CAST(sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS rows_rejected,
+       CAST(count(*) - sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS leftover
+FROM events
+"""
+
+
+def q_cdc_json_extract(spark, sf_dir):
+    """External-variable/JSON payload extraction (inventory: JSON fns)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+O_CDC_JSON = """
+SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_time_buckets(spark, sf_dir):
+    """Event-time bucketing (inventory: date/time)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_CDC_TIME = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+"""
+
+
+def q_cdc_collect_transcript(spark, sf_dir):
+    """Whole-conversation reassembly ordered by turn (inventory: array fns;
+    collect_list ordered by turn_idx ≈ per-user event trail)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("trail"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+O_CDC_COLLECT = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS trail,
+       count(*) AS n
+FROM events WHERE user_id < 10 GROUP BY user_id
+"""
+
+
+def q_cdc_normalize_sql(spark, sf_dir):
+    """SQL-expressible slice of the canonicalization kernel (CRLF->LF,
+    rstrip) over documents (inventory: string fns)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.rtrim(F.regexp_replace(F.col("text"), "\r\n|\r", "\n"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+        F.substring(norm, 1, 32).alias("prefix"),
+    )
+
+
+O_CDC_NORM = r"""
+SELECT doc_id, length(text) AS len_raw,
+       length(rtrim(regexp_replace(text, '\r\n|\r', chr(10), 'g'))) AS len_norm,
+       substring(rtrim(regexp_replace(text, '\r\n|\r', chr(10), 'g')), 1, 32) AS prefix
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins / set ops / relational core
+# ---------------------------------------------------------------------------
+
+def q_join_broadcast_enrich(spark, sf_dir):
+    """Dimension enrichment with explicit broadcast of the small sides."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+O_JOIN_BROADCAST = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_salted_orders(spark, sf_dir):
+    """Skew-resilient fact join: salt the build side the way the MERGE path
+    salts conv_id. Result identical to the plain join (oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_salt = 8
+    o_s = o.withColumn("_salt", F.pmod(F.xxhash64("o_custkey", "o_orderkey"), F.lit(n_salt)))
+    c_s = c.crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+    )
+    j = o_s.join(c_s, (o_s.o_custkey == c_s.c_custkey) & (o_s._salt == c_s._salt))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+O_JOIN_SALTED = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_setop_gone_keys(spark, sf_dir):
+    """Set difference (inventory: set ops): customers with orders but no
+    'purchase' events mapped onto the same key space (custkey%150)."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    a = o.select((F.col("o_custkey") % 150).alias("k")).distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    return a.exceptAll(b).orderBy("k")
+
+
+O_SETOP = """
+SELECT DISTINCT o_custkey % 150 AS k FROM orders
+EXCEPT
+SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'purchase'
+ORDER BY k
+"""
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the classic agg benchmark (bench headline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy; md5 is the portable hash)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 3), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+
+
+_SH_SQL = """
+SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+     LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shared-shingle
+    candidate join; integer intersection / union => bit-stable double)."""
+    sh = _shingles_df(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+O_NGRAM_JACCARD = f"""
+WITH sh AS ({_SH_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, round(inter / (sz1 + sz2 - inter), 6) AS jaccard
+FROM (SELECT i.d1, i.d2, i.inter, s1.sz AS sz1, s2.sz AS sz2
+      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                   JOIN sizes s2 ON i.d2 = s2.doc_id)
+WHERE inter / (sz1 + sz2 - inter) >= {JACCARD_T}
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: signature_i = min(md5(i || shingle)) (string
+    min — portable), bands r=1 b={N_MINHASH}, candidates verified with exact
+    Jaccard. Oracle = exhaustive exact Jaccard: equal output iff LSH recall
+    is total at this threshold (P(miss) = (1-s)^16 <= 1.5e-5 at s=0.5)."""
+    sh = _shingles_df(spark, sf_dir).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    # melt to (doc_id, band, minhash) and bucket-join per band
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("mh"))
+                    for i in range(N_MINHASH)
+                ]
+            )
+        ).alias("bm"),
+    ).select("doc_id", F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact-verify candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col("doc_id").alias("d1"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("bd2"), F.col("sh").alias("sh2"))
+    inter = (
+        cand.join(a_sh, "d1")
+        .join(b_sh, (F.col("d2") == F.col("bd2")) & (F.col("sh") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint from md5 nibble top-bits over the word
+    multiset — portable: instr('0123456789abcdef', nibble) works in both."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hexed = words.withColumn("h", F.md5("w"))
+    nib = [
+        F.when(
+            F.instr(F.lit("0123456789abcdef"), F.substring("h", j + 1, 1)) - 1 >= 8, 1
+        ).otherwise(-1)
+        for j in range(16)
+    ]
+    agg = hexed.groupBy("doc_id").agg(
+        *[F.sum(nib[j]).alias(f"s{j}") for j in range(16)]
+    )
+    bits = sum(
+        (F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)),
+        F.lit(0),
+    )
+    return agg.select("doc_id", bits.cast("long").alias("simhash16"))
+
+
+def _simhash_oracle() -> str:
+    terms_s = ", ".join(
+        "sum(CASE WHEN instr('0123456789abcdef', substring(h, %d, 1)) - 1 >= 8 "
+        "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+        for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hexed AS (SELECT doc_id, md5(w) AS h FROM words),
+agg AS (SELECT doc_id, {terms_s} FROM hexed GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM agg
+"""
+
+
+def q_neardup_cosine(spark, sf_dir):
+    """Embedding near-dup: top-20 most-similar pairs by cosine. Vectors are
+    L2-normalized ONCE (500 rows), so the pair stage does a single
+    sequential-fold dot product — the same op order DuckDB's
+    list_dot_product uses, giving bit-identical doubles."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    en = e.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("u")
+    )
+    a = en.select(F.col("vec_id").alias("v1"), F.col("u").alias("u1"))
+    b = en.select(F.col("vec_id").alias("v2"), F.col("u").alias("u2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("u1"), F.col("u2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos", dot)
+        .orderBy(F.col("cos").desc(), "v1", "v2")
+        .limit(20)
+        .select("v1", "v2", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+O_NEARDUP_COS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(a.u, b.u), 4) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+ORDER BY list_dot_product(a.u, b.u) DESC, v1, v2 LIMIT 20
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vec_id=0 (ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nq = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        j.select("vec_id", (dot / (nv * nq)).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+O_ANN_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM e, q WHERE vec_id <> 0
+ORDER BY list_dot_product(v, qv) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+         vec_id ASC
+LIMIT 10
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Heuristic language ID by stopword ratio (n-gram heuristic family)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    agg = words.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)).alias("hits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "doc_id",
+        F.when(F.col("hits") / F.col("n") > 0.05, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+
+
+O_LANGID = f"""
+SELECT doc_id,
+       CASE WHEN sum(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1.0
+                 / count(*) > 0.05
+            THEN 'en' ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality score: length + stopword-ratio heuristic, deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)).alias("stop_hits"),
+    )
+    score = F.round(
+        F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.5
+        + (F.col("stop_hits") / F.col("n_words")) * 0.5,
+        4,
+    )
+    return agg.select("doc_id", "n_words", score.alias("quality"))
+
+
+O_QUALITY = f"""
+SELECT doc_id, count(*) AS n_words,
+       round(least(1.0, count(*) / 100.0) * 0.5 +
+             (sum(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1.0 / count(*)) * 0.5, 4)
+       AS quality
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace + regex token classes (BPE-ish)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+O_TOKENS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5-based 16-hex content hash (portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.trim("text"))), 1, 16).alias("fingerprint"),
+    )
+
+
+O_FINGERPRINT = """
+SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Opaque-binary plumbing check: byte lengths of payloads (the decode
+    itself is stubbed in operators/multimodal.py — no codec libs here)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        (F.octet_length("text") % 256).cast("long").alias("fake_checksum"),
+    )
+
+
+O_MULTIMODAL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 256 AS BIGINT) AS fake_checksum
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "cdc_lww_dedup": q_cdc_lww_dedup,
+        "cdc_route_validation": q_cdc_route_validation,
+        "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_delete_apply": q_cdc_delete_apply,
+        "cdc_epoch_metrics": q_cdc_epoch_metrics,
+        "cdc_gap_analysis": q_cdc_gap_analysis,
+        "cdc_hot_keys_topk": q_cdc_hot_keys_topk,
+        "cdc_exactly_consumed": q_cdc_exactly_consumed,
+        "cdc_json_extract": q_cdc_json_extract,
+        "cdc_time_buckets": q_cdc_time_buckets,
+        "cdc_collect_transcript": q_cdc_collect_transcript,
+        "cdc_normalize_sql": q_cdc_normalize_sql,
+        "join_broadcast_enrich": q_join_broadcast_enrich,
+        "join_salted_orders": q_join_salted_orders,
+        "setop_gone_keys": q_setop_gone_keys,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "neardup_cosine": q_neardup_cosine,
+        "ann_topk": q_ann_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "cdc_lww_dedup": O_CDC_LWW,
+        "cdc_route_validation": O_CDC_ROUTE,
+        "cdc_merge_upsert": O_CDC_MERGE,
+        "cdc_delete_apply": O_CDC_DELETE,
+        "cdc_epoch_metrics": O_CDC_EPOCH,
+        "cdc_gap_analysis": O_CDC_GAP,
+        "cdc_hot_keys_topk": O_CDC_HOTK,
+        "cdc_exactly_consumed": O_CDC_CONSUMED,
+        "cdc_json_extract": O_CDC_JSON,
+        "cdc_time_buckets": O_CDC_TIME,
+        "cdc_collect_transcript": O_CDC_COLLECT,
+        "cdc_normalize_sql": O_CDC_NORM,
+        "join_broadcast_enrich": O_JOIN_BROADCAST,
+        "join_salted_orders": O_JOIN_SALTED,
+        "setop_gone_keys": O_SETOP,
+        "agg_pricing_summary": O_AGG_PRICING,
+        "dedup_exact": O_DEDUP_EXACT,
+        "dedup_ngram_jaccard": O_NGRAM_JACCARD,
+        "dedup_minhash_lsh": O_NGRAM_JACCARD,  # LSH must reproduce exhaustive result
+        "dedup_simhash": _simhash_oracle(),
+        "neardup_cosine": O_NEARDUP_COS,
+        "ann_topk": O_ANN_TOPK,
+        "text_langid": O_LANGID,
+        "text_quality": O_QUALITY,
+        "text_token_count": O_TOKENS,
+        "doc_fingerprint": O_FINGERPRINT,
+        "multimodal_bytes": O_MULTIMODAL,
+    }
