@@ -1,0 +1,132 @@
+"""Training-data pipeline operators: dedup family, similarity, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_daffodil_spark.operators import multimodal, similarity, text_dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 0
+    (3, "completely different words about spark shuffles and partitions"),
+    (4, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN  "),  # case/ws dup of 0
+    (5, "spark shuffles and partitions about completely different words"),  # permuted 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper"]: r for r in text_dedup.exact_dedup(docs).collect()}
+    # 0 and 1 collapse; 4 only matches after lower+trim
+    assert out[0]["n_copies"] == 3 and out[0]["members"] == [0, 1, 4]
+    assert out[2]["n_copies"] == 1
+    assert sum(r["n_copies"] for r in out.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    sh = text_dedup.word_shingles(docs.filter(F.col("doc_id").isin(0, 2, 3)))
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in text_dedup.jaccard_pairs(sh, 0.4).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.4
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_matches_exact(spark, docs):
+    got = {
+        (r["d1"], r["d2"])
+        for r in text_dedup.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    sh = text_dedup.word_shingles(docs)
+    exact = {(r["d1"], r["d2"]) for r in text_dedup.jaccard_pairs(sh, 0.4).collect()}
+    assert got == exact
+    assert (0, 1) in got  # exact dups are trivially near-dups
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    fp = {r["doc_id"]: r["simhash16"] for r in text_dedup.simhash16(docs).collect()}
+    assert fp[0] == fp[1]  # same text
+    assert fp[3] == fp[5]  # simhash over word multiset is order-invariant
+    assert 0 <= fp[0] < 2**16
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in
+             text_dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (3, 5) in pairs and pairs[(3, 5)] == 0
+
+
+def _vec_df(spark, n=80, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    rows = [(i, m[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), m
+
+
+def test_brute_force_topk_both_paths_agree(spark):
+    df, m = _vec_df(spark)
+    q = m[0].tolist()
+    a = [r["vec_id"] for r in similarity.brute_force_topk(df, q, 5).collect()]
+    b = [r["vec_id"] for r in similarity.brute_force_topk_arrow(df, q, 5).collect()]
+    assert a[0] == 0 and a == b  # self is the best match; paths agree
+
+
+def test_brute_force_matches_numpy(spark):
+    df, m = _vec_df(spark)
+    q = m[3]
+    got = [r["vec_id"] for r in similarity.brute_force_topk(df, q.tolist(), 8).collect()]
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-cos)[:8])
+    assert got == want
+
+
+def test_lsh_bucketed_recall(spark):
+    df, m = _vec_df(spark, n=200)
+    q = m[5].tolist()
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, 3).collect()]
+    ann = [r["vec_id"] for r in similarity.lsh_bucketed_topk(df, q, k=3, n_bits=6).collect()]
+    # multi-probe SRP must at least find the identical vector + most of top-3
+    assert ann[0] == 5
+    assert len(set(exact) & set(ann)) >= 2
+
+
+def test_srp_bucket_deterministic(spark):
+    df, _ = _vec_df(spark, n=30)
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.srp_bucket(df, 16, 6).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.srp_bucket(df, 16, 6).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 64 for b in b1.values())
+
+
+def test_multimodal_features(spark):
+    media = multimodal.make_fake_media(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["n_bytes"] > 0
+        v = r["features"]
+        assert len(v) == multimodal.FEATURE_DIM
+        assert abs(sum(v) - 1.0) < 1e-9  # normalized histogram
+
+
+def test_multimodal_decode_is_gated(spark):
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_multimodal_frame_sample(spark):
+    media = multimodal.make_fake_media(spark, n=30)
+    frames = multimodal.frame_sample(media, every_n=10).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # video rows only (ids ≡ 2 mod 3), frame indices step by 10
+    assert set(by_id) == {i for i in range(30) if i % 3 == 2}
+    for frs in by_id.values():
+        assert frs == sorted(frs) and all(f % 10 == 0 for f in frs)
