@@ -20,8 +20,17 @@ conv_id cannot pin a partition.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
+
+_TIMING = os.environ.get("NDS_TIMING") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    if _TIMING:
+        print(f"[timing] {label}: {time.monotonic() - t0:.2f}s", flush=True)
+    return time.monotonic()
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,9 +71,14 @@ class CdcEngine:
         ev = align_events(events)
         validated = with_validation(ev, cfg.validation_mode, cfg.max_text_len)
         valid, quarantine = split_valid(validated)
+        batch = self._finish_batch(valid)
+        return batch, quarantine
+
+    def _finish_batch(self, valid: DataFrame) -> DataFrame:
+        cfg = self.config
         deduped = lww_dedup(valid)  # before the UDF: normalize only winners
         normalized = deduped.withColumn("text", normalize_text_udf(F.col("text")))
-        batch = (
+        return (
             normalized.withColumn("turn_idx", F.col("turn_idx").cast("int"))
             .withColumn(
                 "bucket",
@@ -78,41 +92,72 @@ class CdcEngine:
             .drop("_salt")
             .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "op", "bucket")
         )
-        return batch, quarantine
 
     def process_batch(self, events: DataFrame, epoch_id: int) -> EpochStats:
+        """Minimal-action epoch apply: 4 Spark jobs per epoch —
+        (1) per-bucket lineage agg (materializes the persisted batch and
+        yields touched buckets + row counts in the same pass),
+        (2) quarantine count (cache-served filter of the validated frame),
+        (3) snapshot MERGE write, (4) quarantine append. The lineage frame
+        is built driver-side from (1)'s rows — no recompute."""
         t0 = time.monotonic()
         if self.sink.epoch_applied(epoch_id):
             st = EpochStats(epoch=epoch_id, skipped=True)
             self.stats.append(st)
             return st
 
-        batch, quarantine = self.prepare_batch(events)
-        batch = batch.persist()
-        quarantine = quarantine.persist()
+        cfg = self.config
+        ev = align_events(events)
+        # validated is NOT cached: the scan is column-pruned + parallel, and
+        # an ephemeral cache would serialize the (few-task) scan stage into
+        # columnar cache builds. Only the post-dedup batch (reused by the
+        # lineage agg and the MERGE write) is persisted.
+        validated = with_validation(ev, cfg.validation_mode, cfg.max_text_len)
+        valid, quarantine = split_valid(validated)
+        batch = self._finish_batch(valid).persist()
         try:
-            # per-bucket lineage in ONE distributed pass (provenance analog)
+            tl = time.monotonic()
+            # one distributed pass: per-bucket lineage + touched + rows_in
             lin_rows = batch.groupBy("bucket").agg(
                 F.min("lsn").alias("lsn_min"),
                 F.max("lsn").alias("lsn_max"),
                 F.count(F.lit(1)).alias("rows_in"),
                 F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_applied"),
+            ).collect()
+            tl = _tlog("lineage agg + batch cache", tl)
+            touched = sorted(r["bucket"] for r in lin_rows)
+            rows_in = sum(r["rows_in"] for r in lin_rows)
+            # one cache-served job for both counts
+            counts = validated.agg(
+                F.count(F.lit(1)).alias("raw"),
+                F.sum(F.when(F.col("_error").isNotNull(), 1).otherwise(0)).alias("bad"),
+            ).collect()[0]
+            raw_events, n_quar = counts["raw"], int(counts["bad"] or 0)
+            tl = _tlog("validated counts", tl)
+            wall_so_far = int((time.monotonic() - t0) * 1000)
+            lineage_rows = [
+                (
+                    int(epoch_id),
+                    int(r["bucket"]),
+                    int(r["lsn_min"]),
+                    int(r["lsn_max"]),
+                    int(r["rows_in"]),
+                    int(r["rows_applied"]),
+                    int(n_quar),
+                    None,
+                    wall_so_far,
+                )
+                for r in lin_rows
+            ]
+            commit = self.sink.apply_batch(
+                batch,
+                epoch_id,
+                quarantine if n_quar else None,
+                lineage_rows,
+                touched=touched,
             )
-            n_quar = quarantine.count()
-            lineage = lin_rows.select(
-                F.lit(int(epoch_id)).alias("epoch"),
-                F.col("bucket"),
-                "lsn_min",
-                "lsn_max",
-                "rows_in",
-                "rows_applied",
-                F.lit(int(n_quar)).alias("rows_quarantined"),
-                F.lit(None).cast("string").alias("snapshot_id"),
-                F.lit(int((time.monotonic() - t0) * 1000)).alias("wall_ms"),
-            )
-            commit = self.sink.apply_batch(batch, epoch_id, quarantine, lineage)
+            tl = _tlog("sink apply_batch", tl)
             wall_ms = int((time.monotonic() - t0) * 1000)
-            rows_in = batch.count()
             st = EpochStats(
                 epoch=int(epoch_id),
                 rows_in=rows_in,
@@ -121,13 +166,13 @@ class CdcEngine:
                 wall_ms=wall_ms,
                 skipped=bool(commit.get("skipped")),
                 snapshot_id=commit.get("snapshot_id"),
-                events_per_sec=(rows_in + n_quar) / max(wall_ms / 1000.0, 1e-9),
+                events_per_sec=raw_events / max(wall_ms / 1000.0, 1e-9),
+                extra={"raw_events": raw_events},
             )
             self.stats.append(st)
             return st
         finally:
             batch.unpersist()
-            quarantine.unpersist()
 
     # ---- batch replay -----------------------------------------------------
 

@@ -53,14 +53,39 @@ class WalSpec:
     p_overlong: float = 0.005    # text exceeding max_text_len (full validation)
     evolve_at: float = 0.5       # fraction of segments that are schema V0
     max_text_len: int = 65536
+    text_len: int = 0            # pad turn text to ~this many bytes (0 = short);
+                                 # realistic transcript turns are 0.3-2 KB
 
 
-def _texts(rng: np.random.Generator, n: int, max_text_len: int, p_overlong: float):
+def _texts(
+    rng: np.random.Generator,
+    n: int,
+    max_text_len: int,
+    p_overlong: float,
+    text_len: int = 0,
+):
     """Deterministic text column with all canonicalization edge cases."""
-    base = np.array(
-        ["turn text %d payload %d" % (i, i * 2654435761 % 997) for i in range(n)],
-        dtype=object,
-    )
+    if text_len > 0:
+        # realistic-size turns: deterministic filler, varied per row so
+        # parquet can't collapse it to a dictionary of one value; only 512
+        # distinct pads exist, selected per row — O(n) pointer work
+        pad_pool = ["word%04d " % (j * 2654435761 % 9973) for j in range(64)]
+        fill = "".join(pad_pool) * 4  # ~2.3 KB pool, sliced per row
+        pads = [fill[s : s + text_len] for s in range(512)]
+        base = np.fromiter(
+            (
+                "turn text %d payload %d | %s" % (i, i * 2654435761 % 997, pads[(i * 37) % 512])
+                for i in range(n)
+            ),
+            dtype=object,
+            count=n,
+        )
+    else:
+        base = np.fromiter(
+            ("turn text %d payload %d" % (i, i * 2654435761 % 997) for i in range(n)),
+            dtype=object,
+            count=n,
+        )
     # sprinkle special texts over ~3% of rows
     idx = rng.choice(n, size=max(1, n // 32), replace=False)
     for j, i in enumerate(idx):
@@ -97,7 +122,7 @@ def generate_wal(out_dir: str, spec: WalSpec = WalSpec()) -> dict:
     op[rng.random(n) < 0.5] = "I"  # I and U are both upserts; mix freely
     op[rng.random(n) < spec.p_delete] = "D"
 
-    text = _texts(rng, n, spec.max_text_len, spec.p_overlong)
+    text = _texts(rng, n, spec.max_text_len, spec.p_overlong, spec.text_len)
 
     tools = np.array([None, "search", "python", "browser"], dtype=object)
     tool = tools[rng.integers(0, 4, size=n)]

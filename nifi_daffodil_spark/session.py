@@ -34,7 +34,21 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # split inputs for parallelism: WAL segments are tens of MB, and a
+        # micro-batch must fan out across all cores even when its files are
+        # few — 16m splits + tiny open cost keep the scan stage wide
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
+        .config("spark.sql.files.openCostInBytes", "1048576")
+        # epoch caches are ephemeral (dropped after the MERGE): compressing
+        # them costs more than the memory it saves
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        .config("spark.locality.wait", "0s")
+        # commit with direct task-level renames and no _SUCCESS/_metadata:
+        # safe for our sinks (a snapshot dir is invisible until the manifest
+        # swap) and much cheaper on metadata-slow filesystems
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

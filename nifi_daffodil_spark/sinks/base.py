@@ -29,10 +29,14 @@ class TranscriptSink(ABC):
         batch: DataFrame,
         epoch_id: int,
         quarantine: DataFrame | None = None,
-        lineage: DataFrame | None = None,
+        lineage: list[tuple] | None = None,
+        touched: list[int] | None = None,
     ) -> dict:
         """MERGE one deduped batch (unique (conv_id, turn_idx); columns =
-        STATE_SCHEMA + op + bucket). Returns commit stats dict."""
+        STATE_SCHEMA + op + bucket). `lineage` is a driver-side list of
+        LINEAGE_SCHEMA tuples (already aggregated per bucket). `touched` is
+        the precomputed list of buckets the batch hits (skips a distinct
+        scan when the caller already aggregated per-bucket lineage)."""
 
     @abstractmethod
     def read_transcripts(self) -> DataFrame:

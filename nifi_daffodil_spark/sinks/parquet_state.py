@@ -122,21 +122,35 @@ class ParquetStateSink(TranscriptSink):
         batch: DataFrame,
         epoch_id: int,
         quarantine: DataFrame | None = None,
-        lineage: DataFrame | None = None,
+        lineage: list[tuple] | None = None,
+        touched: list[int] | None = None,
     ) -> dict:
         """batch columns: conv_id, turn_idx, role, text, tool, ts, lsn, op,
-        bucket — already deduped to one row per (conv_id, turn_idx)."""
+        bucket — already deduped to one row per (conv_id, turn_idx).
+        `lineage` is a driver-side list of LINEAGE_SCHEMA tuples (already
+        aggregated) — written with pyarrow, zero Spark jobs."""
+        import os as _os
+
+        _timing = _os.environ.get("NDS_TIMING") == "1"
+
+        def _tl(label: str, tprev: float) -> float:
+            if _timing:
+                print(f"[sink] {label}: {time.monotonic() - tprev:.2f}s", flush=True)
+            return time.monotonic()
+
         t0 = time.monotonic()
         manifest = self._read_manifest()
         if str(epoch_id) in manifest["epochs"]:
             return {"skipped": True, "epoch": epoch_id,
                     "snapshot_id": manifest["epochs"][str(epoch_id)]["snapshot_id"]}
 
-        batch = batch.persist()
+        tprev = time.monotonic()
         try:
-            touched = sorted(
-                r["bucket"] for r in batch.select("bucket").distinct().collect()
-            )
+            if touched is None:
+                batch = batch.persist()
+                touched = sorted(
+                    r["bucket"] for r in batch.select("bucket").distinct().collect()
+                )
             current = self._read_buckets(manifest, touched)
 
             src = batch.select(*_STATE_COLS, "op", "bucket")
@@ -153,6 +167,7 @@ class ParquetStateSink(TranscriptSink):
                 .select(*_STATE_COLS, "op", "bucket")
             )
 
+            tprev = _tl("plan merge", tprev)
             counter = manifest["counter"] + 1
             snap = f"snap-{counter:06d}"
             snap_dir = os.path.join(self.root, "data", snap)
@@ -162,6 +177,7 @@ class ParquetStateSink(TranscriptSink):
                 .partitionBy("bucket")
                 .parquet(snap_dir)
             )
+            tprev = _tl("merge write", tprev)
             # buckets that were touched but ended empty (all rows deleted)
             # may not materialize a dir; they must still repoint (to nothing)
             written = {
@@ -175,10 +191,9 @@ class ParquetStateSink(TranscriptSink):
                 quarantine.withColumn("epoch", F.lit(int(epoch_id))).select(
                     [f.name for f in QUARANTINE_SCHEMA.fields]
                 ).write.mode("append").parquet(os.path.join(self.root, "quarantine"))
-            if lineage is not None:
-                lineage.withColumn("snapshot_id", F.lit(snapshot_id)).select(
-                    [f.name for f in LINEAGE_SCHEMA.fields]
-                ).write.mode("append").parquet(os.path.join(self.root, "lineage"))
+            tprev = _tl("quarantine write", tprev)
+            if lineage:
+                self._write_lineage(lineage, snapshot_id, epoch_id)
 
             for b in touched:
                 if b in written:
@@ -196,6 +211,28 @@ class ParquetStateSink(TranscriptSink):
                     "buckets": touched}
         finally:
             batch.unpersist()
+
+    def _write_lineage(self, rows: list[tuple], snapshot_id: str, epoch_id: int) -> None:
+        """Per-partition lineage append — pure pyarrow on the driver (the
+        rows are already aggregated); no Spark job for a <=n_buckets-row write."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = list(zip(*rows, strict=True))
+        names = [f.name for f in LINEAGE_SCHEMA.fields]
+        snap_idx = names.index("snapshot_id")
+        arrays = []
+        for i, f in enumerate(LINEAGE_SCHEMA.fields):
+            if i == snap_idx:
+                arrays.append(pa.array([snapshot_id] * len(rows), pa.string()))
+            elif f.dataType.simpleString() == "int":
+                arrays.append(pa.array(cols[i], pa.int32()))
+            else:
+                arrays.append(pa.array(cols[i], pa.int64()))
+        pq.write_table(
+            pa.table(dict(zip(names, arrays, strict=True))),
+            os.path.join(self.root, "lineage", f"epoch-{int(epoch_id):08d}.parquet"),
+        )
 
     def read_transcripts(self) -> DataFrame:
         m = self._read_manifest()
