@@ -5,17 +5,20 @@ columnar):
 
     align (schema evolution)                 ≈ per-record schema selection
     -> validate (tiered check expressions)   ≈ Daffodil validation modes
+       + observe() metrics                   (raw/bad counts ride the pass)
     -> split valid / quarantine              ≈ success/failure relationships
     -> LWW dedup window                      (north-rule mandated shape)
     -> normalize text (Arrow pandas UDF)     ≈ parse/unparse canonicalization
-    -> bucket + salt repartition             (explicit skew handling)
+    -> bucket tag (no repartition here)      (skew handling lives in the sink)
     -> sink.apply_batch: idempotent MERGE    ≈ session commit, @SideEffectFree
     -> lineage + metrics per bucket          ≈ provenance events
 
 Plan hygiene: everything upstream of the normalize UDF is whole-stage
-codegen; the UDF is one Arrow exchange; the only wide shuffles are the dedup
-window and the merge repartition, both keyed to include turn_idx so a hot
-conv_id cannot pin a partition.
+codegen; the UDF is one Arrow exchange; the only wide shuffle in the prepare
+stage is the dedup window, keyed (conv_id, turn_idx) so a hot conv_id cannot
+pin a partition. Any further redistribution (salting for a MERGE, bucket
+clustering for a partitioned write) is owned by the sink that needs it —
+adding one here would just be shuffled away again downstream.
 """
 
 from __future__ import annotations
@@ -32,11 +35,14 @@ def _tlog(label: str, t0: float) -> float:
         print(f"[timing] {label}: {time.monotonic() - t0:.2f}s", flush=True)
     return time.monotonic()
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from nifi_daffodil_spark.config import EngineConfig
-from nifi_daffodil_spark.functions.normalize import normalize_text_udf
+from nifi_daffodil_spark.functions.normalize import (
+    make_normalize_udf,
+    resolve_external_variables,
+)
 from nifi_daffodil_spark.operators.dedup import lww_dedup
 from nifi_daffodil_spark.operators.evolution import align_events
 from nifi_daffodil_spark.operators.validate import split_valid, with_validation
@@ -61,6 +67,12 @@ class CdcEngine:
         self.spark = spark
         self.sink = sink
         self.config = config or EngineConfig()
+        # bind external variables at engine construction — unknown/invalid
+        # bindings fail fast here, the analog of the reference failing the
+        # flowfile on a bad variable binding (TestDaffodilProcessor.java:370-449)
+        self._normalize_udf = make_normalize_udf(
+            resolve_external_variables(self.config.external_variables)
+        )
         self.stats: list[EpochStats] = []
 
     # ---- the per-batch pipeline ------------------------------------------
@@ -77,29 +89,33 @@ class CdcEngine:
     def _finish_batch(self, valid: DataFrame) -> DataFrame:
         cfg = self.config
         deduped = lww_dedup(valid)  # before the UDF: normalize only winners
-        normalized = deduped.withColumn("text", normalize_text_udf(F.col("text")))
+        normalized = deduped.withColumn(
+            "text", self._normalize_udf(F.col("text"))
+        )
+        # NOTE: no repartition here. The dedup window already shuffled by
+        # (conv_id, turn_idx); any further redistribution belongs to the sink
+        # (ParquetStateSink re-keys for its merge window + partitioned write,
+        # IcebergMergeSink salts its own MERGE source). An exchange here would
+        # be a pure extra shuffle of the whole batch.
         return (
             normalized.withColumn("turn_idx", F.col("turn_idx").cast("int"))
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
             )
-            # explicit hot-key spreading: shuffle by (bucket, per-turn salt)
-            .withColumn(
-                "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.n_salt))
-            )
-            .repartition("bucket", "_salt")
-            .drop("_salt")
             .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "op", "bucket")
         )
 
     def process_batch(self, events: DataFrame, epoch_id: int) -> EpochStats:
-        """Minimal-action epoch apply: 4 Spark jobs per epoch —
-        (1) per-bucket lineage agg (materializes the persisted batch and
-        yields touched buckets + row counts in the same pass),
-        (2) quarantine count (cache-served filter of the validated frame),
-        (3) snapshot MERGE write, (4) quarantine append. The lineage frame
-        is built driver-side from (1)'s rows — no recompute."""
+        """Minimal-action epoch apply — ONE scan of the input per epoch.
+
+        Jobs: (1) per-bucket lineage agg, which materializes the persisted
+        batch AND — via DataFrame.observe() planted on the validated frame —
+        yields the raw/quarantine counts in the same pass (no second scan);
+        (2) snapshot MERGE write (cache-served); (3) quarantine append, only
+        when bad rows exist (that job re-filters the source — proportional
+        to one extra scan only on epochs that actually quarantine). The
+        lineage frame is built driver-side from (1)'s rows — no recompute."""
         t0 = time.monotonic()
         if self.sink.epoch_applied(epoch_id):
             st = EpochStats(epoch=epoch_id, skipped=True)
@@ -111,13 +127,21 @@ class CdcEngine:
         # validated is NOT cached: the scan is column-pruned + parallel, and
         # an ephemeral cache would serialize the (few-task) scan stage into
         # columnar cache builds. Only the post-dedup batch (reused by the
-        # lineage agg and the MERGE write) is persisted.
+        # lineage agg and the MERGE write) is persisted; the raw/bad counts
+        # ride the lineage job for free through the observe() node below.
         validated = with_validation(ev, cfg.validation_mode, cfg.max_text_len)
+        obs = Observation(f"epoch-{epoch_id}")
+        validated = validated.observe(
+            obs,
+            F.count(F.lit(1)).alias("raw"),
+            F.sum(F.when(F.col("_error").isNotNull(), 1).otherwise(0)).alias("bad"),
+        )
         valid, quarantine = split_valid(validated)
         batch = self._finish_batch(valid).persist()
         try:
             tl = time.monotonic()
             # one distributed pass: per-bucket lineage + touched + rows_in
+            # + (via observe) raw/quarantine counts
             lin_rows = batch.groupBy("bucket").agg(
                 F.min("lsn").alias("lsn_min"),
                 F.max("lsn").alias("lsn_max"),
@@ -127,13 +151,9 @@ class CdcEngine:
             tl = _tlog("lineage agg + batch cache", tl)
             touched = sorted(r["bucket"] for r in lin_rows)
             rows_in = sum(r["rows_in"] for r in lin_rows)
-            # one cache-served job for both counts
-            counts = validated.agg(
-                F.count(F.lit(1)).alias("raw"),
-                F.sum(F.when(F.col("_error").isNotNull(), 1).otherwise(0)).alias("bad"),
-            ).collect()[0]
-            raw_events, n_quar = counts["raw"], int(counts["bad"] or 0)
-            tl = _tlog("validated counts", tl)
+            metrics = obs.get  # collected by the lineage job above
+            raw_events, n_quar = metrics["raw"], int(metrics["bad"] or 0)
+            tl = _tlog("observed counts", tl)
             wall_so_far = int((time.monotonic() - t0) * 1000)
             lineage_rows = [
                 (
@@ -161,7 +181,8 @@ class CdcEngine:
             st = EpochStats(
                 epoch=int(epoch_id),
                 rows_in=rows_in,
-                rows_applied=rows_in,  # unique keys shipped to MERGE
+                # same meaning as the lineage table: non-tombstone winners
+                rows_applied=sum(r["rows_applied"] for r in lin_rows),
                 rows_quarantined=n_quar,
                 wall_ms=wall_ms,
                 skipped=bool(commit.get("skipped")),

@@ -56,8 +56,10 @@ def test_whole_stage_codegen_covers_validation(spark):
 
 
 def test_lww_dedup_no_extra_exchange_after_repartition(spark):
-    """The engine's merge-ready batch: dedup window + bucket/salt repartition
-    = exactly two exchanges (one per required redistribution), no more."""
+    """The engine's merge-ready batch has exactly ONE exchange — the dedup
+    window shuffle. Redistribution for the MERGE/write is owned by the sink;
+    a (bucket, salt) repartition here would be shuffled away downstream
+    (round-1 verdict: the salt exchange was a pure extra shuffle)."""
     from nifi_daffodil_spark.config import EngineConfig
     from nifi_daffodil_spark.engine import CdcEngine
 
@@ -68,4 +70,4 @@ def test_lww_dedup_no_extra_exchange_after_repartition(spark):
         "text string, tool string, ts timestamp",
     )
     plan = _plan(eng._finish_batch(ev))
-    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Exchange") == 1, plan
