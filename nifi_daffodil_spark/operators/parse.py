@@ -58,6 +58,52 @@ def parse_envelope(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return ok, bad
 
 
+#: mime values the dispatcher understands — the reference's "use mime.type
+#: attribute" unparse mode accepts exactly application/json and
+#: application/xml and fails anything else
+#: (AbstractDaffodilProcessor.java:176-190,422-433).
+MIME_TO_FMT = {"application/json": "json", "application/xml": "xml"}
+
+
+def unparse_dispatch(df: DataFrame, mime_col: str = "mime_type") -> tuple[DataFrame, DataFrame]:
+    """Per-RECORD infoset format selection driven by a record attribute.
+
+    Reference: DaffodilUnparse with INFOSET_TYPE = "use mime.type attribute"
+    selects XML vs JSON from each flowfile's mime.type and routes
+    unknown/missing values to failure with the content untouched
+    (AbstractDaffodilProcessor.java:176-190,422-433; tests
+    TestDaffodilProcessor.java:233-292). Engine mapping: a single `when`
+    chain on the mime column — one codegen'd projection, no per-row Python,
+    no job per format.
+
+    Returns (ok, failed):
+      ok     — input columns + `route` ('json'|'xml') + `rendered`
+      failed — `route` ('FAIL_MISSING_MIME'|'FAIL_UNKNOWN_MIME'), `raw`
+               (original row as JSON, verbatim — failure-atomicity), and
+               the original lsn for provenance.
+    """
+    route = (
+        F.when(F.col(mime_col).isNull(), F.lit("FAIL_MISSING_MIME"))
+        .when(F.col(mime_col) == "application/json", F.lit("json"))
+        .when(F.col(mime_col) == "application/xml", F.lit("xml"))
+        .otherwise(F.lit("FAIL_UNKNOWN_MIME"))
+    )
+    rendered = (
+        F.when(F.col(mime_col) == "application/json", unparse_infoset(df, "json"))
+        .when(F.col(mime_col) == "application/xml", unparse_infoset(df, "xml"))
+    )
+    tagged = df.withColumn("route", route)
+    ok = tagged.filter(~F.col("route").startswith("FAIL_")).withColumn(
+        "rendered", rendered
+    )
+    failed = tagged.filter(F.col("route").startswith("FAIL_")).select(
+        "lsn",
+        "route",
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("raw"),
+    )
+    return ok, failed
+
+
 def unparse_infoset(df: DataFrame, fmt: str = "json"):
     """Inverse serialization of the typed turn (DaffodilUnparse analog).
 

@@ -309,6 +309,116 @@ FROM documents
 """
 
 
+def q_cdc_external_vars(spark, sf_dir):
+    """External-variable binding consumed end-to-end (inventory #11:
+    AbstractDaffodilProcessor.java:359-371,459-477): the canonicalization
+    kernel is COMPILED with output_newline=crlf through the real resolution
+    path (resolve_external_variables -> make_normalize_udf, Arrow pandas
+    UDF), so the output differs from the default-LF kernel. Newline-bearing
+    text is synthesized deterministically since `documents` is single-line."""
+    from nifi_daffodil_spark.functions.normalize import (
+        make_normalize_udf,
+        resolve_external_variables,
+    )
+
+    udf = make_normalize_udf(
+        resolve_external_variables({"output_newline": "crlf", "strip_trailing": ""})
+    )
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit("\r\n"),
+        F.substring("text", 41, 40),
+        F.lit("\ntail  "),
+    )
+    canon = d.select("doc_id", udf(raw).alias("canon"))
+    return canon.select(
+        "doc_id",
+        F.md5("canon").alias("canon_md5"),
+        F.length("canon").cast("long").alias("canon_len"),
+    )
+
+
+O_CDC_EXTVARS = """
+WITH r AS (
+  SELECT doc_id,
+         substring(text, 1, 40) || chr(13) || chr(10) ||
+         substring(text, 41, 40) || chr(10) || 'tail  ' AS raw
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         replace(rtrim(replace(replace(raw, chr(13) || chr(10), chr(10)),
+                               chr(13), chr(10))),
+                 chr(10), chr(13) || chr(10)) AS canon
+  FROM r)
+SELECT doc_id, md5(canon) AS canon_md5, CAST(length(canon) AS BIGINT) AS canon_len
+FROM n
+"""
+
+
+def q_cdc_format_dispatch(spark, sf_dir):
+    """Per-record unparse format dispatch on a mime attribute (inventory #9:
+    DaffodilUnparse 'use mime.type attribute' mode — unknown/missing mime
+    routes to failure, AbstractDaffodilProcessor.java:176-190,422-433).
+    Mapping onto `events`: click/purchase carry JSON, signup carries XML,
+    view carries an unknown mime, error carries none. Output: per-route
+    counts plus min/max rendered payload (string-stable across engines)."""
+    from nifi_daffodil_spark.operators.parse import unparse_dispatch
+
+    ev = _t(spark, sf_dir, "events")
+    mime = (
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit("application/json"))
+        .when(F.col("event_type") == "signup", F.lit("application/xml"))
+        .when(F.col("event_type") == "view", F.lit("text/plain"))  # unknown
+        .otherwise(F.lit(None).cast("string"))  # error -> missing mime
+    )
+    d = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("role"),
+        F.col("user_id").cast("string").alias("text"),
+        (F.col("event_id") % 97).cast("string").alias("tool"),
+        mime.alias("mime_type"),
+    )
+    ok, failed = unparse_dispatch(d)
+    both = ok.select("route", "rendered").unionByName(
+        failed.select("route", F.lit(None).cast("string").alias("rendered"))
+    )
+    return both.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rendered").alias("r_min"),
+        F.max("rendered").alias("r_max"),
+    )
+
+
+# DuckDB replication: Spark's to_json renders {"role":"x","text":"y","tool":"z"}
+# (compact, field order = struct order); all payload fields here are
+# JSON-safe ASCII so plain concat reproduces it byte-for-byte.
+O_CDC_DISPATCH = """
+WITH d AS (
+  SELECT event_id AS lsn, event_type AS role, CAST(user_id AS VARCHAR) AS text,
+         CAST(event_id % 97 AS VARCHAR) AS tool,
+         CASE WHEN event_type IN ('click','purchase') THEN 'application/json'
+              WHEN event_type = 'signup' THEN 'application/xml'
+              WHEN event_type = 'view' THEN 'text/plain'
+              ELSE NULL END AS mime_type
+  FROM events),
+routed AS (
+  SELECT CASE WHEN mime_type IS NULL THEN 'FAIL_MISSING_MIME'
+              WHEN mime_type = 'application/json' THEN 'json'
+              WHEN mime_type = 'application/xml' THEN 'xml'
+              ELSE 'FAIL_UNKNOWN_MIME' END AS route,
+         CASE WHEN mime_type = 'application/json' THEN
+                '{"role":"' || role || '","text":"' || text || '","tool":"' || tool || '"}'
+              WHEN mime_type = 'application/xml' THEN
+                '<turn><role>' || role || '</role><text>' || text ||
+                '</text><tool>' || tool || '</tool></turn>'
+              ELSE NULL END AS rendered
+  FROM d)
+SELECT route, count(*) AS n, min(rendered) AS r_min, max(rendered) AS r_max
+FROM routed GROUP BY route
+"""
+
+
 # ---------------------------------------------------------------------------
 # joins / set ops / relational core
 # ---------------------------------------------------------------------------
@@ -794,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_buckets": q_cdc_time_buckets,
         "cdc_collect_transcript": q_cdc_collect_transcript,
         "cdc_normalize_sql": q_cdc_normalize_sql,
+        "cdc_external_vars": q_cdc_external_vars,
+        "cdc_format_dispatch": q_cdc_format_dispatch,
         "join_broadcast_enrich": q_join_broadcast_enrich,
         "join_salted_orders": q_join_salted_orders,
         "setop_gone_keys": q_setop_gone_keys,
@@ -826,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_buckets": O_CDC_TIME,
         "cdc_collect_transcript": O_CDC_COLLECT,
         "cdc_normalize_sql": O_CDC_NORM,
+        "cdc_external_vars": O_CDC_EXTVARS,
+        "cdc_format_dispatch": O_CDC_DISPATCH,
         "join_broadcast_enrich": O_JOIN_BROADCAST,
         "join_salted_orders": O_JOIN_SALTED,
         "setop_gone_keys": O_SETOP,

@@ -30,6 +30,15 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches = fewer flushes over the Python-worker socket
+        # (the normalize UDF's only per-batch cost); 64k rows of ~600 B text
+        # is ~40 MB per batch — well inside executor memory at any scale
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # wider file buffers = fewer write syscalls per shuffle/spill byte;
+        # matters on metadata/syscall-slow hosts and is harmless elsewhere
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "4m")
+        .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

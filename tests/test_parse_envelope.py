@@ -57,3 +57,33 @@ def test_unparse_xml_layout(spark, tmp_path):
     ok, _ = parse_envelope(df)
     row = ok.withColumn("x", unparse_infoset(ok, "xml")).orderBy("lsn").first()
     assert row["x"].startswith("<turn><role>") and row["x"].endswith("</tool></turn>")
+
+
+def test_unparse_dispatch_per_record_mime(spark):
+    """Per-record format selection on mime_type; unknown/missing -> failure
+    with the original content verbatim (AbstractDaffodilProcessor.java:
+    176-190,422-433; tests TestDaffodilProcessor.java:233-292)."""
+    from nifi_daffodil_spark.operators.parse import unparse_dispatch
+
+    df = spark.createDataFrame(
+        [
+            (1, "user", "hi", "t1", "application/json"),
+            (2, "agent", "yo", None, "application/xml"),
+            (3, "user", "x", "t3", "text/plain"),
+            (4, "user", "y", "t4", None),
+        ],
+        "lsn long, role string, text string, tool string, mime_type string",
+    )
+    ok, failed = unparse_dispatch(df)
+    got = {r["lsn"]: (r["route"], r["rendered"]) for r in ok.collect()}
+    assert got[1] == ("json", '{"role":"user","text":"hi","tool":"t1"}')
+    assert got[2] == (
+        "xml",
+        "<turn><role>agent</role><text>yo</text><tool></tool></turn>",
+    )
+    bad = {r["lsn"]: r for r in failed.collect()}
+    assert set(bad) == {3, 4}
+    assert bad[3]["route"] == "FAIL_UNKNOWN_MIME"
+    assert bad[4]["route"] == "FAIL_MISSING_MIME"
+    # failure-atomicity: original record content is carried verbatim
+    assert '"text":"x"' in bad[3]["raw"] and '"mime_type":"text/plain"' in bad[3]["raw"]
