@@ -86,6 +86,118 @@ def srp_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42) -> Data
     return df.mapInPandas(part, schema="vec_id long, v array<double>, bucket long")
 
 
+def srp_coefficients(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane coefficients derived from md5(bit:dim).
+
+    md5 (not numpy RNG) on purpose: the coefficients are plain literals that
+    can be embedded verbatim into any other engine's SQL (the DuckDB oracle
+    replicates the exact same projections), making the LSH candidate set
+    engine-independent and the whole pipeline oracle-checkable."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{q}:{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for d in range(dim)
+        ]
+        for q in range(n_bits)
+    ]
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    n_bands: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-dup candidate PAIRS via banded sign-random-projection LSH,
+    exact-cosine verified — the scale-safe shape for all-pairs similarity.
+
+    No cartesian product anywhere: vectors sharing any (band, key) bucket
+    become candidates through an equality hash-join; exact cosine runs only
+    on candidates. At corpus scale the candidate count is sum over buckets
+    of |bucket|^2 — sublinear in n^2 whenever the target similarity is high
+    enough that bands are selective (the standard LSH s-curve
+    P(candidate) = 1-(1-p^r)^b with p = 1 - theta/pi). For harder, lower
+    thresholds raise n_bands.
+
+    Everything is built-in Catalyst expressions: normalize once, one fold
+    per bit (dim multiply-adds over array literals), band keys packed to
+    ints, one shuffle on (band, key).
+
+    Input df: (vec_id long, v array<double>). Returns (d1, d2, cos) for all
+    candidate pairs with their exact cosine (caller thresholds / top-ks).
+    """
+    n_bits = n_bands * rows_per_band
+    coefs = srp_coefficients(n_bits, dim)
+    nrm = _norm_col()
+    en = df.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("u")
+    )
+
+    def _bit(q: int):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("u"),
+                F.array(*[F.lit(c) for c in coefs[q]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    band_keys = [
+        sum(
+            (_bit(j * rows_per_band + i) * F.lit(1 << i) for i in range(rows_per_band)),
+            F.lit(0),
+        ).alias(f"k{j}")
+        for j in range(n_bands)
+    ]
+    en = en.persist()  # reused: band keys + two verification joins
+    keyed = en.select("vec_id", *band_keys)
+    # bands carry only (vec_id, band, key): the 64-double vector must NOT be
+    # exploded x n_bands through the shuffle — it is joined back below, once,
+    # after candidate dedup
+    bands = keyed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"k{j}").alias("key"))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("vec_id").alias("d1"), "band", "key")
+    b = bands.select(
+        F.col("vec_id").alias("d2"),
+        F.col("band").alias("band2"),
+        F.col("key").alias("key2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    u1 = en.select(F.col("vec_id").alias("d1"), F.col("u").alias("u1"))
+    u2 = en.select(F.col("vec_id").alias("d2"), F.col("u").alias("u2"))
+    cos = F.aggregate(
+        F.zip_with(F.col("u1"), F.col("u2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a_, x: a_ + x,
+    )
+    return (
+        cand.join(u1, "d1").join(u2, "d2").select("d1", "d2", cos.alias("cos"))
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -52,13 +52,39 @@ def word_shingles(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over pairs sharing >=1 shingle (or a candidate set).
 
     shingles: (_id, sh) distinct. candidates: optional (d1, d2) to restrict.
+    max_df: document-frequency cap for CANDIDATE GENERATION — a shingle
+    appearing in k documents creates k^2 candidate rows, so one stop-phrase
+    at corpus scale is quadratic (round-1 verdict). Shingles with df >
+    max_df are excluded from candidate generation only; the Jaccard itself
+    is still exact over the FULL shingle sets of each candidate pair. A
+    true near-dup pair is missed only if it shares exclusively >max_df
+    stop-shingles, which at threshold >= 0.5 means both docs are
+    stop-phrase soup.
     Returns (d1, d2, jaccard) with jaccard >= threshold.
     """
+    if candidates is None and max_df is not None:
+        dfreq = (
+            shingles.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        capped = shingles.join(dfreq, "sh")
+        a = capped.select(F.col("_id").alias("d1"), "sh")
+        b = capped.select(F.col("_id").alias("d2"), F.col("sh").alias("sh2"))
+        candidates = (
+            a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
+            .select("d1", "d2")
+            .distinct()
+        )
     sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is None:
         a = shingles.select(F.col("_id").alias("d1"), "sh")
@@ -95,6 +121,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     rows_per_band: int = 1,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-verified.
 
@@ -104,6 +131,12 @@ def minhash_lsh_pairs(
     a bucket key; docs sharing any bucket become candidates; candidates are
     verified with exact Jaccard >= threshold (no false positives; false
     negatives bounded by the LSH s-curve).
+
+    max_bucket_size: drop band buckets holding more than this many docs
+    before the candidate self-join — a bucket of k docs yields k^2 candidate
+    rows, so one degenerate bucket (e.g. empty-text docs) is quadratic at
+    corpus scale. Standard LSH practice; a pair losing a crowded bucket is
+    still found through any of its other n_bands-1 buckets.
     """
     assert n_hashes % rows_per_band == 0
     n_bands = n_hashes // rows_per_band
@@ -126,6 +159,14 @@ def minhash_lsh_pairs(
     bands = sig.select(
         F.col("_id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        bands = bands.join(small, ["band", "key"])
     a = bands.select(F.col("_id").alias("d1"), "band", "key")
     b = bands.select(F.col("_id").alias("d2"), F.col("band").alias("band2"), F.col("key").alias("key2"))
     cand = (
@@ -160,6 +201,100 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.lit(0),
     )
     return agg.select(F.col("_id").alias(id_col), bits.cast("long").alias("simhash16"))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over the word multiset — 4 independent 16-bit slices,
+    slice b salted as md5(b || ':' || word) (16 bits of md5 nibble top-bits
+    per slice). 16 bits collides trivially at corpus scale (round-1
+    verdict); 64 bits gives ~2^32 docs before birthday collisions on the
+    full fingerprint.
+
+    Returns (id_col, simhash64: 16-hex-char string, b0..b3: int slices).
+    The hex string is the portable fingerprint (same in any engine); the
+    slices feed banded near-pair blocking (simhash64_near_pairs).
+    """
+    words = df.select(F.col(id_col).alias("_id"), F.explode(F.split(text_col, " ")).alias("w"))
+    hexed = words.select(
+        "_id", *[F.md5(F.concat(F.lit(f"{b}:"), F.col("w"))).alias(f"h{b}") for b in range(4)]
+    )
+    terms = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("0123456789abcdef"), F.substring(f"h{b}", j + 1, 1)) - 1 >= 8,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}_{j}")
+        for b in range(4)
+        for j in range(16)
+    ]
+    agg = hexed.groupBy("_id").agg(*terms)
+    slices = [
+        sum(
+            (
+                F.when(F.col(f"s{b}_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(16)
+            ),
+            F.lit(0),
+        ).cast("long").alias(f"b{b}")
+        for b in range(4)
+    ]
+    packed = agg.select(F.col("_id").alias(id_col), *slices)
+    fp = F.concat(*[F.lpad(F.hex(F.col(f"b{b}")), 4, "0") for b in range(4)])
+    return packed.select(id_col, fp.alias("simhash64"), "b0", "b1", "b2", "b3")
+
+
+def simhash64_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance with BANDED
+    blocking: by pigeonhole, two fingerprints within hamming <= 3 agree
+    exactly on at least one of the 4 16-bit slices, so candidates come from
+    an equality join on (band, slice) — O(n) blocking, no cross join, and
+    (unlike the 16-bit one-bit-flip scheme) no 17x row expansion."""
+    fp = simhash64(df, id_col, text_col)
+    bands = fp.select(
+        id_col,
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "b0", "b1", "b2", "b3", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col(id_col).alias("d1"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+        "band",
+        "key",
+    )
+    b_ = bands.select(
+        F.col(id_col).alias("d2"),
+        *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)],
+        F.col("band").alias("band2"),
+        F.col("key").alias("key2"),
+    )
+    ham = sum(
+        (F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"c{b}"))) for b in range(4)),
+        F.lit(0),
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("band") == F.col("band2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -19,6 +19,7 @@ key := (user_id, event_type), tombstone := op derived from event_type.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -30,6 +31,9 @@ _STOP_SQL = "('" + "','".join(EN_STOPWORDS) + "')"
 
 N_MINHASH = 16  # r=1, b=16 LSH bands: P(candidate) = 1-(1-s)^16
 JACCARD_T = 0.5
+MAX_SHINGLE_DF = 32  # shingle document-frequency cap for candidate generation
+MAX_MINHASH_BUCKET = 100  # band-bucket size cap before the candidate self-join
+N_SRP_BANDS, SRP_ROWS_PER_BAND = 16, 2  # 32-bit SRP LSH for cosine near-dup
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -572,32 +576,44 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (shared-shingle
-    candidate join; integer intersection / union => bit-stable double)."""
-    sh = _shingles_df(spark, sf_dir).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5. Candidate
+    generation is document-frequency-CAPPED (df <= {MAX_SHINGLE_DF}): a
+    shingle in k docs makes k^2 candidates, so an uncapped shared-shingle
+    join is quadratic on stop-phrases at corpus scale (round-1 verdict).
+    The Jaccard itself stays exact over full shingle sets; the oracle
+    mirrors the cap (which does not bind at this sf: max df here is 7)."""
+    from nifi_daffodil_spark.operators.text_dedup import jaccard_pairs
+
+    sh = _shingles_df(spark, sf_dir).withColumnRenamed("doc_id", "_id").persist()
+    return jaccard_pairs(sh, JACCARD_T, max_df=MAX_SHINGLE_DF).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 O_NGRAM_JACCARD = f"""
+WITH sh AS ({_SH_SQL}),
+capped AS (
+  SELECT s.doc_id, s.sh FROM sh s
+  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) d ON s.sh = d.sh
+  WHERE d.df <= {MAX_SHINGLE_DF}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.d1
+              JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+  GROUP BY 1, 2)
+SELECT d1, d2, round(inter / (sz1 + sz2 - inter), 6) AS jaccard
+FROM (SELECT i.d1, i.d2, i.inter, s1.sz AS sz1, s2.sz AS sz2
+      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                   JOIN sizes s2 ON i.d2 = s2.doc_id)
+WHERE inter / (sz1 + sz2 - inter) >= {JACCARD_T}
+"""
+
+# exhaustive (uncapped) exact Jaccard — the recall yardstick for the LSH entry
+O_NGRAM_JACCARD_EXHAUSTIVE = f"""
 WITH sh AS ({_SH_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
@@ -614,59 +630,24 @@ WHERE inter / (sz1 + sz2 - inter) >= {JACCARD_T}
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: signature_i = min(md5(i || shingle)) (string
-    min — portable), bands r=1 b={N_MINHASH}, candidates verified with exact
-    Jaccard. Oracle = exhaustive exact Jaccard: equal output iff LSH recall
-    is total at this threshold (P(miss) = (1-s)^16 <= 1.5e-5 at s=0.5)."""
-    sh = _shingles_df(spark, sf_dir).persist()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
-    # melt to (doc_id, band, minhash) and bucket-join per band
-    bands = sig.select(
+    min — portable), bands r=1 b={N_MINHASH}, band buckets capped at
+    {MAX_MINHASH_BUCKET} docs (a k-doc bucket is k^2 candidates — the cap
+    bounds the worst bucket at corpus scale; it does not bind at this sf),
+    candidates verified with exact Jaccard. Oracle = exhaustive exact
+    Jaccard: equal output iff LSH recall is total at this threshold
+    (P(miss) = (1-s)^16 <= 1.5e-5 at s=0.5)."""
+    from nifi_daffodil_spark.operators.text_dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d,
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("mh"))
-                    for i in range(N_MINHASH)
-                ]
-            )
-        ).alias("bm"),
-    ).select("doc_id", F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    # exact-verify candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.select(F.col("doc_id").alias("d1"), "sh")
-    b_sh = sh.select(F.col("doc_id").alias("bd2"), F.col("sh").alias("sh2"))
-    inter = (
-        cand.join(a_sh, "d1")
-        .join(b_sh, (F.col("d2") == F.col("bd2")) & (F.col("sh") == F.col("sh2")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
-    )
+        "text",
+        n_hashes=N_MINHASH,
+        rows_per_band=1,
+        threshold=JACCARD_T,
+        max_bucket_size=MAX_MINHASH_BUCKET,
+    ).select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -707,10 +688,48 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM agg
 """
 
 
+def q_doc_simhash64(spark, sf_dir):
+    """64-bit SimHash fingerprint (4 x 16-bit md5-salted slices, hex-string
+    packed — portable). The 16-bit variant collides trivially at corpus
+    scale (round-1 verdict); near-pair blocking over the 4 slices is
+    pigeonhole-exact for hamming <= 3 (tests/test_training_ops.py)."""
+    from nifi_daffodil_spark.operators.text_dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text").select("doc_id", "simhash64")
+
+
+def _simhash64_oracle() -> str:
+    terms = ", ".join(
+        f"sum(CASE WHEN instr('0123456789abcdef', substring(h{b}, {j + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s{b}_{j}"
+        for b in range(4)
+        for j in range(16)
+    )
+    slices = ", ".join(
+        "("
+        + " + ".join(f"CASE WHEN s{b}_{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+        + f") AS b{b}"
+        for b in range(4)
+    )
+    hexed = ", ".join(f"md5('{b}:' || w) AS h{b}" for b in range(4))
+    fp = " || ".join(f"lpad(hex(b{b}), 4, '0')" for b in range(4))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hexed AS (SELECT doc_id, {hexed} FROM words),
+agg AS (SELECT doc_id, {terms} FROM hexed GROUP BY doc_id),
+sl AS (SELECT doc_id, {slices} FROM agg)
+SELECT doc_id, {fp} AS simhash64 FROM sl
+"""
+
+
 def q_neardup_cosine(spark, sf_dir):
-    """Embedding near-dup: top-20 most-similar pairs by cosine. Vectors are
-    L2-normalized ONCE (500 rows), so the pair stage does a single
-    sequential-fold dot product — the same op order DuckDB's
+    """Embedding near-dup: top-20 most-similar pairs by cosine, EXHAUSTIVE.
+    This entry is the fixture-scale oracle contract (all-pairs join — fine
+    at 500 rows, not a scale path); the scale path with the same output is
+    `neardup_cosine_lsh`. Vectors are L2-normalized ONCE, so the pair stage
+    does a single sequential-fold dot product — the same op order DuckDB's
     list_dot_product uses, giving bit-identical doubles."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -743,6 +762,77 @@ SELECT a.vec_id AS v1, b.vec_id AS v2,
        round(list_dot_product(a.u, b.u), 4) AS cos_sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 ORDER BY list_dot_product(a.u, b.u) DESC, v1, v2 LIMIT 20
+"""
+
+
+def q_neardup_cosine_lsh(spark, sf_dir):
+    """SCALE path for embedding near-dup: banded sign-random-projection LSH
+    (b={N_SRP_BANDS}, r={SRP_ROWS_PER_BAND}) — candidates via equality
+    hash-join on (band, key) buckets, exact cosine only on candidates, NO
+    cartesian product in the plan (round-1 verdict: the brute-force entry is
+    O(n^2)). The hyperplane coefficients are md5-derived ±1 literals, so the
+    oracle replicates the exact same projections in SQL — equality is by
+    construction; recall vs brute force is asserted separately in
+    tests/test_training_ops.py."""
+    from nifi_daffodil_spark.operators.similarity import as_double_vecs, srp_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = srp_lsh_pairs(
+        as_double_vecs(e), dim=64, n_bands=N_SRP_BANDS, rows_per_band=SRP_ROWS_PER_BAND
+    )
+    return (
+        pairs.orderBy(F.col("cos").desc(), "d1", "d2")
+        .limit(20)
+        .select(
+            F.col("d1").alias("v1"),
+            F.col("d2").alias("v2"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+def _srp_oracle() -> str:
+    """DuckDB replication of q_neardup_cosine_lsh: identical md5-derived
+    hyperplanes, identical band keys, identical candidate join — the dot
+    products use the same left-fold order, so bits and cosines are
+    bit-identical across engines."""
+    from nifi_daffodil_spark.operators.similarity import srp_coefficients
+
+    n_bits = N_SRP_BANDS * SRP_ROWS_PER_BAND
+    coefs = srp_coefficients(n_bits, 64)
+
+    def lit(row):
+        return "[" + ", ".join(f"{c:.1f}" for c in row) + "]"
+
+    def bit(q):
+        return f"(CASE WHEN list_dot_product(u, {lit(coefs[q])}) >= 0 THEN 1 ELSE 0 END)"
+
+    key_cols = ",\n    ".join(
+        " + ".join(
+            f"{bit(j * SRP_ROWS_PER_BAND + i)} * {1 << i}"
+            for i in range(SRP_ROWS_PER_BAND)
+        )
+        + f" AS k{j}"
+        for j in range(N_SRP_BANDS)
+    )
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band, k{j} AS key FROM keys"
+        for j in range(N_SRP_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n, v FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / n) AS u FROM nrm),
+keys AS (SELECT vec_id, {key_cols} FROM u),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.vec_id < b.vec_id)
+SELECT c.d1 AS v1, c.d2 AS v2,
+       round(list_dot_product(x.u, y.u), 4) AS cos_sim
+FROM cand c JOIN u x ON x.vec_id = c.d1 JOIN u y ON y.vec_id = c.d2
+ORDER BY list_dot_product(x.u, y.u) DESC, v1, v2 LIMIT 20
 """
 
 
@@ -868,6 +958,51 @@ FROM documents
 """
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV fixture loader (reference csv.dfdl.xsd + tokens.csv family):
+    documents are written to a QUOTE_ALL CSV deterministically (driver-side,
+    sorted by doc_id) and read back with the declared-schema RFC-4180 reader
+    (quote='\"', escape='\"', multiLine, FAILFAST). The oracle computes the
+    same digest from the parquet directly, so a hash match proves the CSV
+    round-trip preserved every byte (incl. quoted commas)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from nifi_daffodil_spark.sources.csv_fixture import (
+        read_csv_fixture,
+        write_csv_fixture,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist(), strict=True))
+    path = os.path.join(
+        "/tmp",
+        f"ndspark_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        "documents.csv",
+    )
+    write_csv_fixture(path, ["doc_id", "text"], rows)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    df = read_csv_fixture(spark, path, schema)
+    return df.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+O_CSV_ROUNDTRIP = """
+SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Opaque-binary plumbing check: byte lengths of payloads (the decode
     itself is stubbed in operators/multimodal.py — no codec libs here)."""
@@ -914,13 +1049,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "doc_simhash64": q_doc_simhash64,
         "neardup_cosine": q_neardup_cosine,
+        "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "ann_topk": q_ann_topk,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_bytes": q_multimodal_bytes,
+        "csv_roundtrip": q_csv_roundtrip,
     }
 
 
@@ -946,13 +1084,17 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing_summary": O_AGG_PRICING,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_ngram_jaccard": O_NGRAM_JACCARD,
-        "dedup_minhash_lsh": O_NGRAM_JACCARD,  # LSH must reproduce exhaustive result
+        # LSH must reproduce the exhaustive (uncapped) result:
+        "dedup_minhash_lsh": O_NGRAM_JACCARD_EXHAUSTIVE,
         "dedup_simhash": _simhash_oracle(),
+        "doc_simhash64": _simhash64_oracle(),
         "neardup_cosine": O_NEARDUP_COS,
+        "neardup_cosine_lsh": _srp_oracle(),
         "ann_topk": O_ANN_TOPK,
         "text_langid": O_LANGID,
         "text_quality": O_QUALITY,
         "text_token_count": O_TOKENS,
         "doc_fingerprint": O_FINGERPRINT,
         "multimodal_bytes": O_MULTIMODAL,
+        "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

@@ -37,7 +37,7 @@ def build_session(
         # wider file buffers = fewer write syscalls per shuffle/spill byte;
         # matters on metadata/syscall-slow hosts and is harmless elsewhere
         .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.unsafe.file.output.buffer", "4m")
+        .config("spark.shuffle.localDisk.file.output.buffer", "4m")
         .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

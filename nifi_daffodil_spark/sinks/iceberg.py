@@ -34,6 +34,62 @@ class IcebergUnavailableError(RuntimeError):
     pass
 
 
+# ---- pure SQL builders (unit-testable without the Iceberg runtime) ---------
+# The sandbox has no Iceberg jars, so the DDL/MERGE text is factored out and
+# golden-tested; the sink below only executes these strings.
+
+
+def create_table_sql(table: str, n_buckets: int) -> str:
+    """Transcript table DDL: bucket(conv_id) partitioning bounds the file
+    set any MERGE touches; merge-on-read keeps upserts delta-sized."""
+    return f"""
+            CREATE TABLE IF NOT EXISTS {table} (
+              conv_id string, turn_idx int, role string, text string,
+              tool string, ts timestamp, lsn bigint
+            ) USING iceberg
+            PARTITIONED BY (bucket({n_buckets}, conv_id))
+            TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+                           'write.distribution-mode'='hash')
+            """
+
+
+def merge_sql(table: str, source_view: str = "_cdc_batch_src") -> str:
+    """Idempotent LWW MERGE: the `s.lsn > t.lsn` guard makes late or
+    replayed rows harmless; tombstones delete only when newer."""
+    return f"""
+            MERGE INTO {table} t
+            USING {source_view} s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' AND s.lsn > t.lsn THEN DELETE
+            WHEN MATCHED AND s.op <> 'D' AND s.lsn > t.lsn THEN UPDATE SET
+              t.role = s.role, t.text = s.text, t.tool = s.tool,
+              t.ts = s.ts, t.lsn = s.lsn
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT
+              (conv_id, turn_idx, role, text, tool, ts, lsn)
+              VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.lsn)
+            """
+
+
+def evolve_schema_ddl(table_cols: dict[str, str], batch_schema) -> list[str]:
+    """In-flight schema evolution plan: ALTER statements for columns the
+    batch has but the table lacks, plus int -> bigint widenings.
+
+    table_cols: {name: simple type string} of the current table.
+    batch_schema: the incoming batch's StructType. Engine-internal columns
+    (op, bucket) never evolve into the table.
+    """
+    stmts = []
+    for f in batch_schema:
+        if f.name in ("op", "bucket"):
+            continue
+        dt = f.dataType.simpleString()
+        if f.name not in table_cols:
+            stmts.append(f"ALTER TABLE <table> ADD COLUMN {f.name} {dt}")
+        elif table_cols[f.name] == "int" and dt == "bigint":
+            stmts.append(f"ALTER TABLE <table> ALTER COLUMN {f.name} TYPE bigint")
+    return stmts
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""
@@ -62,17 +118,7 @@ class IcebergMergeSink(TranscriptSink):
         self.table = table
         self.n_buckets = n_buckets
         self.n_salt = n_salt
-        spark.sql(
-            f"""
-            CREATE TABLE IF NOT EXISTS {table} (
-              conv_id string, turn_idx int, role string, text string,
-              tool string, ts timestamp, lsn bigint
-            ) USING iceberg
-            PARTITIONED BY (bucket({n_buckets}, conv_id))
-            TBLPROPERTIES ('write.merge.mode'='merge-on-read',
-                           'write.distribution-mode'='hash')
-            """
-        )
+        spark.sql(create_table_sql(table, n_buckets))
 
     def _applied_epochs(self) -> set[str]:
         rows = self.spark.sql(
@@ -101,20 +147,7 @@ class IcebergMergeSink(TranscriptSink):
         self.spark.conf.set(
             f"spark.wap.snapshot-property.{EPOCH_PROP}", str(epoch_id)
         )
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t
-            USING _cdc_batch_src s
-            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
-            WHEN MATCHED AND s.op = 'D' AND s.lsn > t.lsn THEN DELETE
-            WHEN MATCHED AND s.op <> 'D' AND s.lsn > t.lsn THEN UPDATE SET
-              t.role = s.role, t.text = s.text, t.tool = s.tool,
-              t.ts = s.ts, t.lsn = s.lsn
-            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT
-              (conv_id, turn_idx, role, text, tool, ts, lsn)
-              VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts, s.lsn)
-            """
-        )
+        self.spark.sql(merge_sql(self.table))
         return {"skipped": False, "epoch": epoch_id}
 
     def read_transcripts(self) -> DataFrame:
@@ -126,14 +159,5 @@ class IcebergMergeSink(TranscriptSink):
         """In-flight evolution: add columns the batch has but the table lacks
         (string/long/int/timestamp only), widen int -> bigint."""
         table_cols = {f.name: f.dataType.simpleString() for f in self.spark.table(self.table).schema}
-        for f in batch.schema:
-            if f.name in ("op", "bucket"):
-                continue
-            if f.name not in table_cols:
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ADD COLUMN {f.name} {f.dataType.simpleString()}"
-                )
-            elif table_cols[f.name] == "int" and f.dataType.simpleString() == "bigint":
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ALTER COLUMN {f.name} TYPE bigint"
-                )
+        for stmt in evolve_schema_ddl(table_cols, batch.schema):
+            self.spark.sql(stmt.replace("<table>", self.table))

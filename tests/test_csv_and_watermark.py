@@ -1,0 +1,125 @@
+"""CSV fixture loader (reference csv.dfdl.xsd + tokens.csv family) and the
+event-time watermark / bounded-state streaming demo (SURVEY.md §2.b rows
+that round 1 left uncovered)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nifi_daffodil_spark.sources.csv_fixture import read_csv_fixture, write_csv_fixture
+
+#: the reference's tricky-CSV surface: quoted commas (tokens.csv analog),
+#: doubled quotes, embedded newlines, unicode, empties
+SPECIAL_ROWS = [
+    (1, "plain text"),
+    (2, 'a,"quoted,comma",b'),
+    (3, 'she said ""hi"" twice'),
+    (4, "line one\nline two"),
+    (5, "café ☕ naïve"),
+    (6, ""),
+    (8, None),  # NULL round-trips as \\N, distinct from empty string
+    (7, "trailing spaces   "),
+]
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def test_csv_roundtrip_preserves_special_texts(spark, tmp_path):
+    path = str(tmp_path / "fixtures" / "tokens.csv")
+    write_csv_fixture(path, ["doc_id", "text"], SPECIAL_ROWS)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in read_csv_fixture(spark, path, CSV_SCHEMA).collect()
+    }
+    for doc_id, text in SPECIAL_ROWS:
+        assert got[doc_id] == text, f"doc {doc_id} mangled: {got[doc_id]!r}"
+
+
+def test_csv_declared_schema_types(spark, tmp_path):
+    path = str(tmp_path / "fixtures" / "typed.csv")
+    write_csv_fixture(path, ["doc_id", "text"], [(10, "x")])
+    df = read_csv_fixture(spark, path, CSV_SCHEMA)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "string"]
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    path = str(tmp_path / "fixtures" / "bad.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write('doc_id,text\n"not_a_number","x"\n')
+    with pytest.raises(Exception, match="FAILFAST|Malformed|cannot be parsed"):
+        read_csv_fixture(spark, path, CSV_SCHEMA).collect()
+
+
+# ---------------------------------------------------------------------------
+# watermark / bounded-state streaming (SURVEY.md §2.b: withWatermark)
+# ---------------------------------------------------------------------------
+
+_STREAM_SCHEMA = "lsn long, op string, ts timestamp"
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 10, minute, 0)
+
+
+def test_watermark_closes_windows_and_drops_late_rows(spark, tmp_path):
+    """Three deterministic micro-batches (maxFilesPerTrigger=1,
+    mtime-ordered). Batch 0 fills window W1=[10:00,10:05) and pushes the
+    max event time to 10:30; the watermark (10:20) takes effect one batch
+    later, so batch 1 is where W1 is emitted (append mode) and its state
+    EVICTED — bounded state. Batch 2 then brings a LATE 10:01 row: W1 is
+    already closed, so the row is dropped and W1 is never re-emitted
+    (append's exactly-once-per-window contract)."""
+    from nifi_daffodil_spark.streaming.watermark import windowed_turn_counts
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    files = [
+        # batch 0: W1 rows + the watermark pusher (event time 10:30)
+        ("a.parquet", [(1, "I", _ts(0)), (2, "I", _ts(1)), (3, "I", _ts(2)), (4, "U", _ts(30))]),
+        # batch 1: watermark now 10:20 -> W1 emitted + evicted this batch
+        ("b.parquet", [(5, "U", _ts(31))]),
+        # batch 2: LATE row for W1 (10:01 << watermark) -> dropped
+        ("c.parquet", [(6, "I", _ts(1))]),
+    ]
+    now = 1_700_000_000
+    for i, (name, rows) in enumerate(files):
+        d = src / name
+        spark.createDataFrame(rows, _STREAM_SCHEMA).coalesce(1).write.parquet(str(d))
+        t = now - 100 + i * 10
+        os.utime(str(d), (t, t))
+        for f in os.listdir(d):
+            os.utime(str(d / f), (t, t))
+
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    q = (
+        windowed_turn_counts(stream, watermark="10 minutes", window_dur="5 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_demo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["win_start"], r["win_end"], r["op"], r["n"], r["max_lsn"])
+        for r in spark.table("wm_demo").collect()
+    ]
+    # W1 emitted exactly once with the on-time rows only (late lsn=6
+    # dropped, never re-emitted); the 10:30+ window never closed -> absent
+    assert got == [(_ts(0), _ts(5), "I", 3, 3)], got
