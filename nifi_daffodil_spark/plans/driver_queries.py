@@ -423,6 +423,30 @@ FROM routed GROUP BY route
 """
 
 
+def q_cdc_el_resolve(spark, sf_dir):
+    """Per-record attribute-expression resolution (inventory #12: NiFi EL,
+    `prop.evaluateAttributeExpressions(flowFile)` —
+    AbstractDaffodilProcessor.java:93,407-408). A `${attr}` template is
+    compiled once into a codegen'd concat; here it derives a per-record
+    routing key (the reference's per-record schema-path selection analog)."""
+    from nifi_daffodil_spark.operators.el_resolve import resolve_attribute_expressions
+
+    ev = _t(spark, sf_dir, "events")
+    resolved = resolve_attribute_expressions(
+        ev, "wal/${event_type}/u${user_id}", out_col="route_key"
+    )
+    return resolved.groupBy("route_key").agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_lsn")
+    )
+
+
+O_CDC_EL = """
+SELECT 'wal/' || event_type || '/u' || CAST(user_id AS VARCHAR) AS route_key,
+       count(*) AS n, max(event_id) AS max_lsn
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # joins / set ops / relational core
 # ---------------------------------------------------------------------------
@@ -531,6 +555,26 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_rollup(spark, sf_dir):
+    """Grouping-sets family (SURVEY.md §2.b rollup/cube row): per-flag,
+    per-(flag,status), and grand-total metrics in one pass — Catalyst
+    expands the rollup into a single Expand + hash aggregate (no N scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+O_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
@@ -1041,10 +1085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_normalize_sql": q_cdc_normalize_sql,
         "cdc_external_vars": q_cdc_external_vars,
         "cdc_format_dispatch": q_cdc_format_dispatch,
+        "cdc_el_resolve": q_cdc_el_resolve,
         "join_broadcast_enrich": q_join_broadcast_enrich,
         "join_salted_orders": q_join_salted_orders,
         "setop_gone_keys": q_setop_gone_keys,
         "agg_pricing_summary": q_agg_pricing_summary,
+        "agg_rollup": q_agg_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1078,10 +1124,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_normalize_sql": O_CDC_NORM,
         "cdc_external_vars": O_CDC_EXTVARS,
         "cdc_format_dispatch": O_CDC_DISPATCH,
+        "cdc_el_resolve": O_CDC_EL,
         "join_broadcast_enrich": O_JOIN_BROADCAST,
         "join_salted_orders": O_JOIN_SALTED,
         "setop_gone_keys": O_SETOP,
         "agg_pricing_summary": O_AGG_PRICING,
+        "agg_rollup": O_AGG_ROLLUP,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_ngram_jaccard": O_NGRAM_JACCARD,
         # LSH must reproduce the exhaustive (uncapped) result:

@@ -123,3 +123,57 @@ def test_watermark_closes_windows_and_drops_late_rows(spark, tmp_path):
     # W1 emitted exactly once with the on-time rows only (late lsn=6
     # dropped, never re-emitted); the 10:30+ window never closed -> absent
     assert got == [(_ts(0), _ts(5), "I", 3, 3)], got
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_conv_progress_carries_state_across_batches(spark, tmp_path):
+    """Per-conversation progress state survives micro-batch boundaries:
+    batch 0 sees turns {0,1} of conv A (not contiguous to max? yes 0..1),
+    batch 1 adds turn 3 (gap -> contiguous=0) and a new conv B."""
+    from nifi_daffodil_spark.streaming.stateful import track_conv_progress
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    files = [
+        ("a.parquet", [("A", 0), ("A", 1)]),
+        ("b.parquet", [("A", 3), ("B", 0)]),
+    ]
+    now = 1_700_000_000
+    for i, (name, rows) in enumerate(files):
+        d = src / name
+        spark.createDataFrame(rows, "conv_id string, turn_idx int").coalesce(
+            1
+        ).write.parquet(str(d))
+        t = now - 100 + i * 10
+        os.utime(str(d), (t, t))
+        for f in os.listdir(d):
+            os.utime(str(d / f), (t, t))
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    q = (
+        track_conv_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        (r["conv_id"], r["max_turn"], r["n_events"], r["contiguous"])
+        for r in spark.table("conv_progress").collect()
+    ]
+    # update mode appends one row per updated key per batch (memory sink):
+    # batch 0: A(max 1, n 2, contiguous); batch 1: A(max 3, n 3, gap at 2), B
+    assert ("A", 1, 2, 1) in rows
+    assert ("A", 3, 3, 0) in rows  # state carried: n_events 2 -> 3
+    assert ("B", 0, 1, 1) in rows
