@@ -110,12 +110,14 @@ class CdcEngine:
         """Minimal-action epoch apply — ONE scan of the input per epoch.
 
         Jobs: (1) per-bucket lineage agg, which materializes the persisted
-        batch AND — via DataFrame.observe() planted on the validated frame —
-        yields the raw/quarantine counts in the same pass (no second scan);
-        (2) snapshot MERGE write (cache-served); (3) quarantine append, only
-        when bad rows exist (that job re-filters the source — proportional
-        to one extra scan only on epochs that actually quarantine). The
-        lineage frame is built driver-side from (1)'s rows — no recompute."""
+        batch (and, through it, the persisted validated frame) AND — via
+        DataFrame.observe() planted on the validated frame — yields the
+        raw/quarantine counts in the same pass; (2) snapshot MERGE write
+        (cache-served); (3) quarantine append on epochs with bad rows,
+        served from the validated CACHE, not a re-scan (profiling showed
+        the quarantine re-scan+re-validate cost ~40% of an epoch at a 2%
+        bad-row rate). The lineage frame is built driver-side from (1)'s
+        rows — no recompute."""
         t0 = time.monotonic()
         if self.sink.epoch_applied(epoch_id):
             st = EpochStats(epoch=epoch_id, skipped=True)
@@ -124,18 +126,18 @@ class CdcEngine:
 
         cfg = self.config
         ev = align_events(events)
-        # validated is NOT cached: the scan is column-pruned + parallel, and
-        # an ephemeral cache would serialize the (few-task) scan stage into
-        # columnar cache builds. Only the post-dedup batch (reused by the
-        # lineage agg and the MERGE write) is persisted; the raw/bad counts
-        # ride the lineage job for free through the observe() node below.
+        # validated IS cached (micro-batch-sized, MEMORY_AND_DISK spills):
+        # it is read twice — once through the batch branch (dedup/UDF/MERGE)
+        # and once by the quarantine append — and an uncached second read
+        # would re-scan AND re-validate the whole input. The 16 MB input
+        # splits keep the cache build as parallel as the scan itself.
         validated = with_validation(ev, cfg.validation_mode, cfg.max_text_len)
         obs = Observation(f"epoch-{epoch_id}")
         validated = validated.observe(
             obs,
             F.count(F.lit(1)).alias("raw"),
             F.sum(F.when(F.col("_error").isNotNull(), 1).otherwise(0)).alias("bad"),
-        )
+        ).persist()
         valid, quarantine = split_valid(validated)
         batch = self._finish_batch(valid).persist()
         try:
@@ -194,6 +196,7 @@ class CdcEngine:
             return st
         finally:
             batch.unpersist()
+            validated.unpersist()
 
     # ---- batch replay -----------------------------------------------------
 
