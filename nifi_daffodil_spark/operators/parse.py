@@ -65,6 +65,76 @@ def parse_envelope(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 MIME_TO_FMT = {"application/json": "json", "application/xml": "xml"}
 
 
+def parse_dispatch(
+    df: DataFrame,
+    schemas: dict[str, "T.StructType"],
+    schema_col: str = "schema_id",
+    payload_col: str = "payload",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-RECORD schema selection for parse.
+
+    Reference: the schema-path property is an EL template evaluated against
+    EACH record's attributes (AbstractDaffodilProcessor.java:93,407-408), so
+    one processor parses records of different schemas in the same stream;
+    an unresolvable schema is a hard failure (schema-missing test,
+    TestDaffodilProcessor.java:48-58). Engine mapping: one `when` chain over
+    the schema-id column, each branch a `from_json` with ITS declared
+    StructType widened to the union-of-fields shape (null for fields a
+    schema lacks) so the chain has a single result type; unknown/missing
+    schema ids route to quarantine with the payload verbatim.
+
+    Returns (ok, failed): ok = input columns + `_infoset` struct + `used_schema`;
+    failed = (route, raw).
+    """
+    from pyspark.sql import types as T  # noqa: F811 — hinted name above
+
+    # union-of-fields result shape: same name+type everywhere, order fixed
+    all_fields: dict[str, T.DataType] = {}
+    for s in schemas.values():
+        for f in s.fields:
+            prev = all_fields.get(f.name)
+            if prev is not None and prev != f.dataType:
+                raise ValueError(
+                    f"conflicting types for field {f.name!r} across schemas"
+                )
+            all_fields.setdefault(f.name, f.dataType)
+    wide = T.StructType([T.StructField(n, t, True) for n, t in all_fields.items()])
+
+    def as_wide(schema: T.StructType):
+        parsed = F.from_json(F.col(payload_col), schema)
+        names = {f.name for f in schema.fields}
+        return F.struct(
+            *[
+                (parsed[n] if n in names else F.lit(None).cast(t)).alias(n)
+                for n, t in all_fields.items()
+            ]
+        ).cast(wide)
+
+    infoset = None
+    for sid in sorted(schemas):
+        branch = F.when(F.col(schema_col) == sid, as_wide(schemas[sid]))
+        infoset = branch if infoset is None else infoset.when(
+            F.col(schema_col) == sid, as_wide(schemas[sid])
+        )
+    route = (
+        F.when(F.col(schema_col).isNull(), F.lit("FAIL_MISSING_SCHEMA"))
+        .when(~F.col(schema_col).isin(*sorted(schemas)), F.lit("FAIL_UNKNOWN_SCHEMA"))
+        .otherwise(F.lit("ok"))
+    )
+    tagged = df.withColumn("_route", route)
+    ok = (
+        tagged.filter(F.col("_route") == "ok")
+        .withColumn("_infoset", infoset)
+        .withColumn("used_schema", F.col(schema_col))
+        .drop("_route")
+    )
+    failed = tagged.filter(F.col("_route") != "ok").select(
+        F.col("_route").alias("route"),
+        F.col(payload_col).alias("raw"),
+    )
+    return ok, failed
+
+
 def unparse_dispatch(df: DataFrame, mime_col: str = "mime_type") -> tuple[DataFrame, DataFrame]:
     """Per-RECORD infoset format selection driven by a record attribute.
 

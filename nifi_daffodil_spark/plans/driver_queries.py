@@ -423,6 +423,56 @@ FROM routed GROUP BY route
 """
 
 
+def q_cdc_schema_dispatch(spark, sf_dir):
+    """Per-record SCHEMA selection for parse (inventory #2/#12: the schema
+    path is EL-evaluated per record, AbstractDaffodilProcessor.java:93,
+    407-408; unresolved schema -> failure, TestDaffodilProcessor.java:48-58).
+    Mapping onto `events`: click/view parse with schema v0, purchase/signup
+    with v1 (adds an optional field), error carries an unknown schema id."""
+    from pyspark.sql import types as T
+
+    from nifi_daffodil_spark.operators.parse import parse_dispatch
+
+    ev = _t(spark, sf_dir, "events")
+    schema_id = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("v0"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("v1"))
+        .otherwise(F.lit("v9"))  # unknown -> quarantine
+    )
+    d = ev.select(
+        F.col("event_id").alias("lsn"),
+        schema_id.alias("schema_id"),
+        F.col("props").alias("payload"),
+    )
+    v0 = T.StructType([T.StructField("k", T.LongType())])
+    v1 = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("m", T.StringType())]
+    )
+    ok, failed = parse_dispatch(d, {"v0": v0, "v1": v1})
+    ok_rows = ok.select(
+        F.col("used_schema").alias("route"), F.col("_infoset.k").alias("k")
+    )
+    fail_rows = failed.select("route", F.lit(None).cast("long").alias("k"))
+    return (
+        ok_rows.unionByName(fail_rows)
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+O_CDC_SCHEMA_DISPATCH = """
+WITH d AS (
+  SELECT CASE WHEN event_type IN ('click','view') THEN 'v0'
+              WHEN event_type IN ('purchase','signup') THEN 'v1'
+              ELSE 'FAIL_UNKNOWN_SCHEMA' END AS route,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+         END AS k
+  FROM events)
+SELECT route, count(*) AS n, sum(k) AS sum_k FROM d GROUP BY route
+"""
+
+
 def q_cdc_el_resolve(spark, sf_dir):
     """Per-record attribute-expression resolution (inventory #12: NiFi EL,
     `prop.evaluateAttributeExpressions(flowFile)` —
@@ -1086,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_external_vars": q_cdc_external_vars,
         "cdc_format_dispatch": q_cdc_format_dispatch,
         "cdc_el_resolve": q_cdc_el_resolve,
+        "cdc_schema_dispatch": q_cdc_schema_dispatch,
         "join_broadcast_enrich": q_join_broadcast_enrich,
         "join_salted_orders": q_join_salted_orders,
         "setop_gone_keys": q_setop_gone_keys,
@@ -1125,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_external_vars": O_CDC_EXTVARS,
         "cdc_format_dispatch": O_CDC_DISPATCH,
         "cdc_el_resolve": O_CDC_EL,
+        "cdc_schema_dispatch": O_CDC_SCHEMA_DISPATCH,
         "join_broadcast_enrich": O_JOIN_BROADCAST,
         "join_salted_orders": O_JOIN_SALTED,
         "setop_gone_keys": O_SETOP,

@@ -87,3 +87,43 @@ def test_unparse_dispatch_per_record_mime(spark):
     assert bad[4]["route"] == "FAIL_MISSING_MIME"
     # failure-atomicity: original record content is carried verbatim
     assert '"text":"x"' in bad[3]["raw"] and '"mime_type":"text/plain"' in bad[3]["raw"]
+
+
+def test_parse_dispatch_per_record_schema(spark):
+    """Per-record schema selection (the reference evaluates the schema path
+    per record via EL, AbstractDaffodilProcessor.java:93,407-408; unresolved
+    schema = hard failure, TestDaffodilProcessor.java:48-58): one stream
+    carries v0 and v1 payloads; unknown/missing schema ids quarantine."""
+    from pyspark.sql import types as T
+
+    from nifi_daffodil_spark.operators.parse import parse_dispatch
+
+    v0 = T.StructType(
+        [T.StructField("role", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    v1 = T.StructType(
+        [
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "v0", '{"role":"user","text":"a"}'),
+            (2, "v1", '{"role":"agent","text":"b","tool":"search"}'),
+            (3, "v9", '{"role":"x","text":"y"}'),
+            (4, None, '{"role":"x","text":"y"}'),
+        ],
+        "lsn long, schema_id string, payload string",
+    )
+    ok, failed = parse_dispatch(df, {"v0": v0, "v1": v1})
+    got = {r["lsn"]: (r["_infoset"], r["used_schema"]) for r in ok.collect()}
+    assert got[1][0].asDict() == {"role": "user", "text": "a", "tool": None}
+    assert got[1][1] == "v0"
+    assert got[2][0].asDict() == {"role": "agent", "text": "b", "tool": "search"}
+    bad = {r["route"] for r in failed.collect()}
+    assert bad == {"FAIL_UNKNOWN_SCHEMA", "FAIL_MISSING_SCHEMA"}
+    # the raw payload rides to quarantine verbatim
+    raws = {r["raw"] for r in failed.collect()}
+    assert '{"role":"x","text":"y"}' in raws
