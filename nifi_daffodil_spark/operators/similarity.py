@@ -86,6 +86,81 @@ def srp_bucket(df: DataFrame, dim: int, n_bits: int = 8, seed: int = 42) -> Data
     return df.mapInPandas(part, schema="vec_id long, v array<double>, bucket long")
 
 
+def ivf_assign(df: DataFrame, centroids: "np.ndarray") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Vectorized Arrow batches: per-partition (rows x dim) @ (dim x k) matmul,
+    argmax by cosine. Output adds a `cell` column; downstream joins/groupBys
+    on cell are pure Catalyst. The centroid matrix is tiny (k x dim) and is
+    shipped in the task closure — the standard IVF layout where a 10^9-row
+    table is clustered by cell and a query probes only nprobe cells.
+    """
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            sims = (m / np.where(norms == 0, 1.0, norms)) @ cn.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cell": sims.argmax(axis=1).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(part, schema="vec_id long, v array<double>, cell long")
+
+
+def ivf_train_centroids(
+    df: DataFrame, n_cells: int = 16, n_iter: int = 5, sample: int = 2048, seed: int = 7
+) -> "np.ndarray":
+    """Tiny deterministic k-means on a driver-side sample (the coarse
+    quantizer is always trained on a sample — even billion-row IVF indexes
+    train on ~1M vectors). Sampling uses a seeded hash of vec_id (stable
+    across partitionings), not RDD sampling."""
+    rng = np.random.default_rng(seed)
+    pdf = (
+        df.withColumn("_h", F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)))
+        .orderBy("_h", "vec_id")
+        .limit(sample)
+        .select("vec_id", "v")
+        .toPandas()
+    )
+    m = np.stack(pdf["v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(n_iter):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                mu = members.mean(axis=0)
+                cents[c] = mu / (np.linalg.norm(mu) or 1.0)
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN: exact cosine top-k over only the nprobe IVF cells nearest the
+    query — candidate set is cell-sized, work ~ nprobe/n_cells of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = [int(c) for c in (cn @ qn).argsort()[::-1][:nprobe]]
+    cells = ivf_assign(df, centroids)
+    cand = cells.filter(F.col("cell").isin(probes))
+    return brute_force_topk_arrow(cand.select("vec_id", "v"), query_vec, k)
+
+
 def srp_coefficients(n_bits: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane coefficients derived from md5(bit:dim).
 

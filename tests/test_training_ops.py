@@ -220,3 +220,36 @@ def test_simhash64_near_pairs_banded_blocking(spark):
     # blocking is an equality join, not a cross join
     plan = simhash64_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF coarse-quantizer ANN: deterministic sampled k-means centroids,
+    cell assignment via Arrow matmul, probe-limited exact search. With
+    generous nprobe at this fixture the result equals brute force; with
+    nprobe=1 only a fraction of the data is scanned (the scale property)."""
+    from pyspark.sql import functions as F
+
+    from nifi_daffodil_spark.operators.similarity import (
+        as_double_vecs,
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    e = as_double_vecs(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    )
+    q = e.filter(F.col("vec_id") == 0).first()["v"]
+    cents = ivf_train_centroids(e, n_cells=8, seed=7)
+    base = e.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(base, q, k=10).collect()]
+    got = [r["vec_id"] for r in ivf_topk(base, q, cents, k=10, nprobe=8).collect()]
+    assert got == exact  # nprobe=all cells == exhaustive
+    # determinism: same seed -> same centroids -> same assignment
+    cents2 = ivf_train_centroids(e, n_cells=8, seed=7)
+    assert (cents == cents2).all()
+    # the probe actually prunes: one cell holds a strict subset of the data
+    cells = ivf_assign(base, cents)
+    one_cell = cells.filter(F.col("cell") == 0).count()
+    assert 0 < one_cell < base.count()
