@@ -38,7 +38,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--gen-events", type=int, default=0,
                     help="generate a deterministic demo WAL of N events first")
+    ap.add_argument("--var", action="append", default=[], metavar="NAME=VALUE",
+                    help="external variable binding (repeatable), e.g. "
+                         "--var output_newline=crlf — the reference's dynamic "
+                         "properties; unknown names or bad values fail fast")
     args = ap.parse_args(argv)
+
+    external_variables: dict[str, str] = {}
+    for kv in args.var:
+        if "=" not in kv:
+            ap.error(f"--var expects NAME=VALUE, got {kv!r}")
+        name, value = kv.split("=", 1)
+        external_variables[name] = value
 
     from nifi_daffodil_spark.config import EngineConfig
     from nifi_daffodil_spark.engine import CdcEngine
@@ -53,7 +64,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="cdc-ingest", cores=args.cores)
     cfg = EngineConfig(
-        validation_mode=args.validation, n_buckets=args.buckets, n_salt=args.salt
+        validation_mode=args.validation,
+        n_buckets=args.buckets,
+        n_salt=args.salt,
+        external_variables=external_variables,
     )
     if args.sink == "iceberg":
         from nifi_daffodil_spark.sinks.iceberg import IcebergMergeSink
