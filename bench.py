@@ -258,6 +258,11 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    # Emit the headline-only line NOW: the scaling phase below takes tens of
+    # minutes (runs=3 interleaved), and if the harness is killed mid-phase
+    # the last complete JSON line should still carry the headline results.
+    # The final print below supersedes this line when the full run finishes.
+    print(json.dumps(result), flush=True)
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         n_events = int(os.environ.get("BENCH_WAL_EVENTS", "8000000"))
