@@ -473,6 +473,62 @@ SELECT route, count(*) AS n, sum(k) AS sum_k FROM d GROUP BY route
 """
 
 
+def q_binary_fields(spark, sf_dir):
+    """Fixed-width binary field extraction with byte order (reference
+    bitlength.dfdl.xsd:26-43: bit-length unsignedInt fields, byteOrder from
+    an external variable; BE/LE flip tests noleftover(.bin|_le.bin).xml).
+    A deterministic 16-byte binary payload per event (unhex of md5) carries
+    a big-endian u16, the SAME bytes read little-endian, and a 12-bit field
+    — decoded from the BINARY column with portable nibble arithmetic."""
+    from nifi_daffodil_spark.operators.binary_fields import (
+        BinaryField,
+        parse_fixed_binary,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("payload"),
+    )
+    fields = [
+        BinaryField("u16_be", 0, 4),
+        BinaryField("u12", 4, 3),
+        BinaryField("u32", 8, 8),
+    ]
+    be = parse_fixed_binary(d, fields, byte_order="big")
+    le = parse_fixed_binary(
+        d, [BinaryField("u16_le", 0, 4)], byte_order="little"
+    ).select("lsn", "u16_le")
+    return (
+        be.join(le, "lsn")
+        .select("lsn", "u16_be", "u16_le", "u12", "u32")
+    )
+
+
+# DuckDB replication: identical nibble arithmetic over md5's hex rendering —
+# (instr('0123456789abcdef', c) - 1) evaluates the same in both engines.
+def _binary_oracle() -> str:
+    def nib(i):
+        return f"(instr('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+
+    def be(start, n):
+        return " + ".join(
+            f"{nib(start + j)} * {16 ** (n - 1 - j)}" for j in range(n)
+        )
+
+    # little-endian u16 over nibbles 1..4: bytes (1,2),(3,4) reversed
+    le16 = f"{nib(3)} * 4096 + {nib(4)} * 256 + {nib(1)} * 16 + {nib(2)}"
+    return f"""
+WITH d AS (SELECT event_id AS lsn, md5(CAST(event_id AS VARCHAR)) AS h FROM events)
+SELECT lsn,
+       CAST({be(1, 4)} AS BIGINT) AS u16_be,
+       CAST({le16} AS BIGINT) AS u16_le,
+       CAST({be(5, 3)} AS BIGINT) AS u12,
+       CAST({be(9, 8)} AS BIGINT) AS u32
+FROM d
+"""
+
+
 def q_cdc_el_resolve(spark, sf_dir):
     """Per-record attribute-expression resolution (inventory #12: NiFi EL,
     `prop.evaluateAttributeExpressions(flowFile)` —
@@ -1137,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_format_dispatch": q_cdc_format_dispatch,
         "cdc_el_resolve": q_cdc_el_resolve,
         "cdc_schema_dispatch": q_cdc_schema_dispatch,
+        "binary_fields": q_binary_fields,
         "join_broadcast_enrich": q_join_broadcast_enrich,
         "join_salted_orders": q_join_salted_orders,
         "setop_gone_keys": q_setop_gone_keys,
@@ -1177,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_format_dispatch": O_CDC_DISPATCH,
         "cdc_el_resolve": O_CDC_EL,
         "cdc_schema_dispatch": O_CDC_SCHEMA_DISPATCH,
+        "binary_fields": _binary_oracle(),
         "join_broadcast_enrich": O_JOIN_BROADCAST,
         "join_salted_orders": O_JOIN_SALTED,
         "setop_gone_keys": O_SETOP,
