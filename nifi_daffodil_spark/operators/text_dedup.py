@@ -203,6 +203,46 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col("_id").alias(id_col), bits.cast("long").alias("simhash16"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by WINNOWING (Schleimer/Wilkerson/
+    Aiken, the MOSS algorithm): hash every character k-gram, slide a window
+    of w consecutive hashes, keep each window's minimum — the selected
+    fingerprint set is position-robust (insertions shift positions but local
+    minima survive) and its size is ~2/(w+1) of the gram count, so the
+    fingerprint index is a fraction of corpus size.
+
+    Everything is one Catalyst projection (transform/sequence/slice/
+    array_min over md5 hex strings — md5 keeps it portable to the DuckDB
+    oracle); no explode, no shuffle: fingerprinting 10^9 docs is a map-only
+    pass. Returns (id, fingerprints: sorted distinct array<string>).
+    """
+    # stage 1: the rolling k-gram hash array, materialized ONCE per row
+    # (dynamic substring start needs expr(); a nested re-derivation inside
+    # the winnow lambda would recompute the grams per window — O(n^2))
+    # (sequence(1, 0) DESCENDS in Spark, so short inputs need CASE guards)
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> md5(substring({text_col}, i, {k}))) "
+        f"ELSE array() END"
+    )
+    staged = df.select(F.col(id_col), grams.alias("_grams"))
+    # stage 2: window minima over the bound array, dedup + sort
+    winnowed = F.expr(
+        f"CASE WHEN size(_grams) >= {w} THEN "
+        f"array_sort(array_distinct(transform(sequence(1, size(_grams) - {w - 1}), "
+        f"j -> array_min(slice(_grams, j, {w}))))) "
+        f"ELSE array() END"
+    )
+    return staged.select(F.col(id_col), winnowed.alias("fingerprints"))
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over the word multiset — 4 independent 16-bit slices,
     slice b salted as md5(b || ':' || word) (16 bits of md5 nibble top-bits

@@ -1153,6 +1153,44 @@ FROM documents
 """
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting by winnowing (MOSS): hash every
+    char 8-gram, keep each 4-window's minimum — position-robust fingerprints
+    at ~2/(w+1) the gram count, computed in one map-only projection."""
+    from nifi_daffodil_spark.operators.text_dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, w=4
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fp"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"),
+    )
+
+
+O_DOC_WINNOW = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8 THEN
+           list_transform(range(1, length(text) - 6), i -> md5(substring(text, i, 8)))
+         ELSE [] END AS grams
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_sort(list_distinct(list_transform(range(1, len(grams) - 2),
+             j -> list_aggregate(grams[j:j+3], 'min'))))
+         ELSE [] END AS fps
+  FROM g)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       list_aggregate(fps, 'min') AS fp_min,
+       list_aggregate(fps, 'max') AS fp_max
+FROM w
+"""
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Opaque-binary plumbing check: byte lengths of payloads (the decode
     itself is stubbed in operators/multimodal.py — no codec libs here)."""
@@ -1211,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow": q_doc_winnow,
         "multimodal_bytes": q_multimodal_bytes,
         "csv_roundtrip": q_csv_roundtrip,
     }
@@ -1253,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": O_QUALITY,
         "text_token_count": O_TOKENS,
         "doc_fingerprint": O_FINGERPRINT,
+        "doc_winnow": O_DOC_WINNOW,
         "multimodal_bytes": O_MULTIMODAL,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

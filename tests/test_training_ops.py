@@ -253,3 +253,27 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     cells = ivf_assign(base, cents)
     one_cell = cells.filter(F.col("cell") == 0).count()
     assert 0 < one_cell < base.count()
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing (MOSS rolling-hash fingerprints): identical docs share all
+    fingerprints; a local edit preserves most fingerprints (position
+    robustness — the property md5-of-whole-doc lacks); short docs are empty."""
+    from nifi_daffodil_spark.operators.text_dedup import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, "EDIT " + base),  # prefix insertion shifts every position
+        (4, "tiny"),          # shorter than k -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df).collect()}
+    assert fp[1] == fp[2] and len(fp[1]) > 5
+    overlap = len(fp[1] & fp[3]) / len(fp[1])
+    assert overlap > 0.8, overlap  # local edit, mostly-shared fingerprints
+    assert fp[4] == set()
+    # map-only: no exchange in the plan
+    plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
