@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--gen-events", type=int, default=0,
                     help="generate a deterministic demo WAL of N events first")
+    ap.add_argument("--metrics-stream", default=None, metavar="DIR",
+                    help="also run the bounded-state metrics side-channel "
+                         "(watermarked windowed counts + stateful per-conv "
+                         "progress) writing parquet under DIR (stream mode)")
     ap.add_argument("--var", action="append", default=[], metavar="NAME=VALUE",
                     help="external variable binding (repeatable), e.g. "
                          "--var output_newline=crlf — the reference's dynamic "
@@ -80,6 +84,15 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = CdcEngine(spark, sink, cfg)
     if args.mode == "stream":
+        metrics_qs = []
+        if args.metrics_stream:
+            metrics_qs = eng.run_metrics_stream(
+                args.wal_dir,
+                args.metrics_stream,
+                args.checkpoint + "_metrics",
+                available_now=True,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         q = eng.run_stream(
             args.wal_dir,
             args.checkpoint,
@@ -87,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
         )
         q.awaitTermination()
+        for mq in metrics_qs:
+            mq.awaitTermination()
     else:
         from nifi_daffodil_spark.sources.wal import read_wal_dir
 

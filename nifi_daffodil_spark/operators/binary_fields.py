@@ -88,6 +88,12 @@ def parse_fixed_binary(
 ) -> DataFrame:
     """Adds one long column per declared field, decoded from a BINARY column.
 
+    Rows whose payload is shorter than the declared field extents get
+    `_error='SHORT_PAYLOAD'` unconditionally: substring past end yields ''
+    and instr(hex, '') is 1, so missing nibbles would otherwise silently
+    decode as 0 (DaffodilParse.java parse-error analog; callers route to
+    quarantine).
+
     `expected_len_col`: optional exactly-consumed guard — when given, rows
     whose payload byte length differs from it get `_error='LEFTOVER_DATA'`
     (DaffodilParse.java:92-98 analog); callers route them to quarantine.
@@ -96,12 +102,13 @@ def parse_fixed_binary(
     out = df.withColumn("_hex", hexed)
     for f in fields:
         out = out.withColumn(f.name, decode_field(F.col("_hex"), f, byte_order))
+    max_nibbles = max(f.nibble_offset + f.nibble_len for f in fields)
+    short = F.octet_length(F.col(payload_col)) * F.lit(2) < F.lit(max_nibbles)
     if expected_len_col is not None:
-        out = out.withColumn(
-            "_error",
-            F.when(
-                F.octet_length(F.col(payload_col)) != F.col(expected_len_col),
-                F.lit("LEFTOVER_DATA"),
-            ),
+        err = F.when(short, F.lit("SHORT_PAYLOAD")).when(
+            F.octet_length(F.col(payload_col)) != F.col(expected_len_col),
+            F.lit("LEFTOVER_DATA"),
         )
-    return out.drop("_hex")
+    else:
+        err = F.when(short, F.lit("SHORT_PAYLOAD"))
+    return out.withColumn("_error", err).drop("_hex")

@@ -136,3 +136,137 @@ def make_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---- real decode tier: uncompressed BMP / PCM WAV, pure numpy --------------
+# (round-2 verdict item #5: these container formats are public and fully
+# parseable without codec libraries; PIL-gating remains only for COMPRESSED
+# formats like JPEG/PNG/MP3.)
+
+def bmp_bytes(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal 24-bpp uncompressed BMP (BITMAPINFOHEADER). pixel_bytes must
+    be width*3 per row, rows padded to 4 bytes by this function."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        row = pixel_bytes[r * width * 3:(r + 1) * width * 3]
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def wav_bytes(sample_rate: int, samples_le16: bytes) -> bytes:
+    """Minimal mono 16-bit PCM WAV."""
+    import struct
+
+    n = len(samples_le16)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n) + samples_le16
+    )
+
+
+def decode_bmp(buf: bytes) -> dict:
+    """Parse an uncompressed 24-bpp BMP: width, height, mean pixel value
+    (padding bytes excluded). Raises ValueError on anything else."""
+    import struct
+
+    if buf is None or len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("NOT_BMP")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    width, height = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0 or bpp != 24:
+        raise ValueError("UNSUPPORTED_CODEC")
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    if len(buf) < offset + stride * h:
+        raise ValueError("TRUNCATED")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=offset)
+    pix = rows.reshape(h, stride)[:, : width * 3]  # drop row padding
+    return {"width": width, "height": h, "mean_value": float(pix.mean())}
+
+
+def decode_wav(buf: bytes) -> dict:
+    """Parse a PCM WAV: sample_rate, n_samples, mean int16 sample value.
+    Walks RIFF chunks properly (fmt /data in any order, extra chunks ok)."""
+    import struct
+
+    if buf is None or len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("NOT_WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, sz = buf[pos:pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("TRUNCATED")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("UNSUPPORTED_CODEC")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // channels
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "mean_value": float(samples.astype(np.float64).mean()) if n else 0.0,
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real decode over Arrow batches: BMP for kind=image, WAV for
+    kind=audio; anything undecodable gets error set (quarantine-style, the
+    payload is never lost). Compressed formats still require PIL — that
+    gate now applies only to them.
+
+    Output: media_id, kind, width, height, sample_rate, n_samples,
+    mean_value, error.
+    """
+
+    def part(it):
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "width": [], "height": [], "sample_rate": [],
+                "n_samples": [], "mean_value": [], "error": [],
+            }
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                w = h = sr = ns = mv = err = None
+                try:
+                    if kind == "image":
+                        d = decode_bmp(payload)
+                        w, h, mv = d["width"], d["height"], d["mean_value"]
+                    elif kind == "audio":
+                        d = decode_wav(payload)
+                        sr, ns, mv = d["sample_rate"], d["n_samples"], d["mean_value"]
+                    else:
+                        err = "UNSUPPORTED_KIND"
+                except ValueError as e:
+                    err = str(e)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(ns)
+                out["mean_value"].append(mv)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        part,
+        schema=(
+            "media_id long, kind string, width int, height int, "
+            "sample_rate int, n_samples int, mean_value double, error string"
+        ),
+    )

@@ -229,7 +229,13 @@ def srp_lsh_pairs(
         ).alias(f"k{j}")
         for j in range(n_bands)
     ]
-    en = en.persist()  # reused: band keys + two verification joins
+    # Reused three times (band keys + two verification joins). Eager
+    # localCheckpoint, not persist(): persist leaked cached blocks for the
+    # session lifetime across repeated calls (bench warm+timed, tests);
+    # checkpoint blocks are dropped by the ContextCleaner as soon as the
+    # result DataFrame is garbage-collected. Lineage truncation is fine —
+    # the input is a deterministic scan.
+    en = en.localCheckpoint(eager=True)
     keyed = en.select("vec_id", *band_keys)
     # bands carry only (vec_id, band, key): the 64-double vector must NOT be
     # exploded x n_bands through the shuffle — it is joined back below, once,
@@ -294,3 +300,143 @@ def lsh_bucketed_topk(
     bucketed = srp_bucket(df, dim, n_bits, seed)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk_arrow(cand.select("vec_id", "v"), query_vec, k)
+
+
+class IvfIndex:
+    """Persisted IVF index: build ONCE, serve many queries (round-2 verdict
+    item #4 — ivf_topk retrained the quantizer and re-assigned every call).
+
+    Layout (all parquet, self-describing):
+      <path>/centroids/   (cell long, c array<double>)      — tiny, k rows
+      <path>/vectors/     cell=K/... (vec_id long, v ...)   — partitioned by
+                          cell, so probing nprobe cells is PARTITION-PRUNED
+                          at the scan: a 10^9-row index reads only
+                          nprobe/n_cells of its files per query batch.
+
+    Serving reads the centroid table once into driver memory (k x dim —
+    tiny by construction); candidate scans stay fully distributed.
+    """
+
+    def __init__(self, spark, path: str, centroids: "np.ndarray"):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self._cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    # ---- build / load -----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        n_iter: int = 5,
+        sample: int = 2048,
+        seed: int = 7,
+    ) -> "IvfIndex":
+        """Train the coarse quantizer (driver-side bounded sample — standard
+        even at 10^9 rows), assign every vector, persist both."""
+        spark = df.sparkSession
+        cents = ivf_train_centroids(df, n_cells, n_iter, sample, seed)
+        cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+        spark.createDataFrame(cent_rows, "cell long, c array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        (
+            ivf_assign(df, cents)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/vectors")
+        )
+        return cls(spark, path, cents)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+        cents = np.array([r["c"] for r in rows], dtype=np.float64)
+        return cls(spark, path, cents)
+
+    # ---- serve ------------------------------------------------------------
+
+    def _probe_cells(self, q: "np.ndarray", nprobe: int) -> list[int]:
+        qn = q / (np.linalg.norm(q) or 1.0)
+        return [int(c) for c in (self._cn @ qn).argsort()[::-1][:nprobe]]
+
+    def _vectors(self, cells: list[int]) -> DataFrame:
+        # .filter on the partition column prunes to the probed cell dirs
+        return (
+            self.spark.read.parquet(f"{self.path}/vectors")
+            .filter(F.col("cell").isin(cells))
+        )
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        """Single-query ANN: exact cosine over the nprobe nearest cells."""
+        probes = self._probe_cells(np.asarray(query_vec, dtype=np.float64), nprobe)
+        return brute_force_topk_arrow(
+            self._vectors(probes).select("vec_id", "v"), query_vec, k
+        )
+
+    def topk_batch(
+        self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        """Batched multi-query ANN: ONE distributed job for all queries.
+
+        Probe pairs (qid, cell) are computed on the driver (nq x n_cells —
+        tiny), the probed cells are scanned once (partition-pruned union of
+        all queries' cells), and each Arrow batch does a single
+        (rows x dim) @ (dim x nq) matmul against the relevant query block.
+        Per-query top-k via one window — returns (qid, vec_id, cos).
+        """
+        qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        qids = np.array([int(qid) for qid, _ in queries], dtype=np.int64)
+        probe_pairs = [
+            (int(qid), c)
+            for qid, (_, v) in zip(qids, queries)
+            for c in self._probe_cells(np.asarray(v, dtype=np.float64), nprobe)
+        ]
+        cells_needed = sorted({c for _, c in probe_pairs})
+        # cell -> positions of the queries probing it (shipped in closure —
+        # bounded by nq * nprobe ints)
+        cell_qpos: dict[int, list[int]] = {}
+        qid_to_pos = {int(qid): i for i, qid in enumerate(qids)}
+        for qid, c in probe_pairs:
+            cell_qpos.setdefault(c, []).append(qid_to_pos[qid])
+
+        def part(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                for cell, grp in pdf.groupby("cell"):
+                    qpos = cell_qpos.get(int(cell))
+                    if not qpos:
+                        continue
+                    m = np.stack(grp["v"].to_numpy())
+                    norms = np.linalg.norm(m, axis=1)
+                    mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+                    sims = mn @ qn[qpos].T  # (rows x nq_probing_this_cell)
+                    nloc = min(k, sims.shape[0])
+                    for j, pos in enumerate(qpos):
+                        col = sims[:, j]
+                        idx = np.argpartition(-col, nloc - 1)[:nloc]
+                        yield pd.DataFrame(
+                            {
+                                "qid": np.full(nloc, qids[pos]),
+                                "vec_id": grp["vec_id"].to_numpy()[idx],
+                                "cos": col[idx],
+                            }
+                        )
+
+        local = self._vectors(cells_needed).mapInPandas(
+            part, schema="qid long, vec_id long, cos double"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", "vec_id", "cos")
+        )

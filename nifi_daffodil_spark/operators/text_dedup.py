@@ -376,3 +376,80 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Transitive closure over near-dup PAIRS: (node, component) where
+    component = the minimum doc id reachable — the cluster-resolution step
+    every production dedup pipeline runs after pair generation (round-2
+    verdict item #3; pairs A~B, B~C must all collapse to one cluster
+    before keeper selection).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    set PLUS pointer jumping (label <- label[label]) each round, so long
+    chains converge in O(log n) rounds, not O(diameter). Each round is two
+    equality joins + a groupBy min — all Catalyst; the per-round
+    localCheckpoint truncates the growing lineage (the standard Spark
+    iterative-algorithm pattern) and bounds what any retry recomputes.
+
+    Only nodes appearing in `pairs` are returned; docs with no near-dup
+    edge are singletons by definition and never need dropping.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    edges = edges.distinct().localCheckpoint(eager=True)  # reused every round
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(max_iter):
+        # neighbor-min propagation: each node offers its label to neighbors
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = (
+            prop.unionByName(labels).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow the label one hop (label of my label)
+        hop = new_labels.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            new_labels.join(hop, new_labels["label"] == hop["_ln"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def resolve_keepers(pairs: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:
+    """Cluster resolution + keeper selection over near-dup pairs.
+
+    Returns (doc_id, component, is_dup): component = min doc id of the
+    cluster = the KEEPER; is_dup = 1 for every other member — the
+    `docs_to_drop` feed (filter is_dup = 1)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.when(F.col("node") == F.col("component"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_dup"),
+    )

@@ -3,22 +3,29 @@
 Design (scale rationale):
   * The table is hash-bucketed by conv_id: bucket = pmod(xxhash64(conv_id), N)
     — same layout Iceberg `bucket(N, conv_id)` would give (SURVEY.md §4 item 5).
-  * Each epoch rewrites ONLY the buckets its batch touches. Per-epoch work is
-    proportional to touched data, never to table size — the property that
-    keeps a 100 TB table mergeable.
-  * A snapshot = a directory `data/snap-NNNNNN/bucket=K/...`; the manifest
-    maps every bucket to the snapshot that last wrote it. Commits are an
-    atomic manifest swap (os.replace), so a crash mid-write leaves only
-    orphan files, never a torn table (reference analog: copy-on-write
-    session commit, AbstractDaffodilProcessor.java:479-486).
+  * MERGE-ON-READ (round-2 verdict item #6): an epoch APPENDS one delta dir
+    `data/delta-NNNNNN/bucket=K/...` holding just its (already LWW-deduped)
+    batch rows — it never reads or rewrites existing bucket data, so a hot
+    bucket receiving one row per epoch costs one small file per epoch, not a
+    full rewrite. Per-bucket state = base snapshot (optional) + delta list;
+    readers fold them with one row_number LWW window (identical semantics to
+    the old write-time merge, locked by the same replay/idempotency tests).
+  * When a bucket accumulates > max_deltas deltas, apply_batch compacts just
+    that bucket (fold base+deltas -> new base `data/snap-NNNNNN/bucket=K`),
+    so read amplification is bounded by max_deltas — the same
+    delta/compaction contract Iceberg's merge-on-read + rewrite_data_files
+    has.
+  * The manifest maps bucket -> {base, deltas}. Commits are an atomic
+    manifest swap (os.replace), so a crash mid-write leaves only orphan
+    files, never a torn table (reference analog: copy-on-write session
+    commit, AbstractDaffodilProcessor.java:479-486).
   * Exactly-once: the manifest records applied epoch ids; re-applying an
     epoch is a no-op (idempotent replay, BASELINE.json:6).
 
-MERGE itself is pure Spark: (current rows of touched buckets) UNION
-(batch rows) -> row_number LWW by (conv_id, turn_idx) over lsn -> drop
-tombstone winners. State rows carry their commit lsn, so a late batch row
-with a smaller lsn can never overwrite newer state (the `s.lsn > t.lsn`
-MERGE guard).
+The LWW fold: row_number by (conv_id, turn_idx) over lsn desc, keep rank 1
+INCLUDING tombstones (a winning delete keeps fencing late smaller-lsn rows).
+State rows carry their commit lsn, so a late batch row with a smaller lsn
+can never overwrite newer state (the `s.lsn > t.lsn` MERGE guard).
 """
 
 from __future__ import annotations
@@ -53,10 +60,19 @@ _FILE_SCHEMA = T.StructType(
 
 
 class ParquetStateSink(TranscriptSink):
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        max_deltas: int = 4,
+    ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # read-amplification bound: a bucket holding > max_deltas delta dirs
+        # is compacted by the NEXT epoch that touches it
+        self.max_deltas = max_deltas
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "quarantine"), exist_ok=True)
         os.makedirs(os.path.join(root, "lineage"), exist_ok=True)
@@ -83,27 +99,30 @@ class ParquetStateSink(TranscriptSink):
     def epoch_applied(self, epoch_id: int) -> bool:
         return str(epoch_id) in self._read_manifest()["epochs"]
 
-    def _bucket_paths(self, manifest: dict, buckets: list[int]) -> list[str]:
-        paths = []
-        for b in buckets:
-            snap = manifest["buckets"].get(str(b))
-            if snap is not None:
-                paths.append(os.path.join(self.root, "data", snap, f"bucket={b}"))
-        return paths
+    @staticmethod
+    def _bucket_dirs(manifest: dict, b: int) -> list[str]:
+        """All dirs (base snapshot first, then deltas in commit order)
+        holding bucket b's rows."""
+        ent = manifest["buckets"].get(str(b))
+        if ent is None:
+            return []
+        dirs = [ent["base"]] if ent.get("base") else []
+        return dirs + list(ent.get("deltas", []))
 
     def _read_buckets(self, manifest: dict, buckets: list[int]) -> DataFrame | None:
-        """State rows of the given buckets. Bucket dirs may live in different
-        snapshots; group by snapshot so each read keeps partition discovery."""
-        by_snap: dict[str, list[int]] = {}
+        """RAW state rows of the given buckets: base + every delta (a key may
+        appear multiple times — callers needing current state fold with
+        _fold). Bucket dirs may live in different snapshot/delta dirs; group
+        by dir so each read keeps partition discovery."""
+        by_dir: dict[str, list[int]] = {}
         for b in buckets:
-            snap = manifest["buckets"].get(str(b))
-            if snap is not None:
-                by_snap.setdefault(snap, []).append(b)
-        if not by_snap:
+            for d in self._bucket_dirs(manifest, b):
+                by_dir.setdefault(d, []).append(b)
+        if not by_dir:
             return None
         parts = []
-        for snap, bs in by_snap.items():
-            base = os.path.join(self.root, "data", snap)
+        for d, bs in by_dir.items():
+            base = os.path.join(self.root, "data", d)
             paths = [os.path.join(base, f"bucket={b}") for b in bs]
             parts.append(
                 self.spark.read.option("basePath", base).schema(
@@ -116,6 +135,23 @@ class ParquetStateSink(TranscriptSink):
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    @staticmethod
+    def _fold(df: DataFrame) -> DataFrame:
+        """Merge-on-read LWW fold: one winner per (conv_id, turn_idx) by
+        highest lsn, tombstones INCLUDED (a winning D keeps fencing late
+        smaller-lsn rows for its key until compact_tombstones reclaims it)."""
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _needs_fold(self, manifest: dict, buckets: list[int]) -> bool:
+        return any(
+            len(self._bucket_dirs(manifest, b)) > 1 for b in buckets
+        )
 
     def apply_batch(
         self,
@@ -151,42 +187,68 @@ class ParquetStateSink(TranscriptSink):
                 touched = sorted(
                     r["bucket"] for r in batch.select("bucket").distinct().collect()
                 )
-            current = self._read_buckets(manifest, touched)
-
-            src = batch.select(*_STATE_COLS, "op", "bucket")
-            if current is not None:
-                merged = current.select(*_STATE_COLS, "op", "bucket").unionByName(src)
-            else:
-                merged = src
-            w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").desc())
-            # winners INCLUDING tombstones — a winning D persists so its lsn
-            # keeps fencing out late smaller-lsn rows for the same key
-            new_state = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(*_STATE_COLS, "op", "bucket")
-            )
-
-            tprev = _tl("plan merge", tprev)
+            # merge-on-read: APPEND the batch as one delta dir — no read or
+            # rewrite of existing bucket data. The batch is already LWW-
+            # deduped per key; cross-delta/base conflicts resolve at read
+            # time in _fold (or at compaction below).
             counter = manifest["counter"] + 1
-            snap = f"snap-{counter:06d}"
-            snap_dir = os.path.join(self.root, "data", snap)
+            delta = f"delta-{counter:06d}"
+            delta_dir = os.path.join(self.root, "data", delta)
             (
-                new_state.repartition("bucket")
+                batch.select(*_STATE_COLS, "op", "bucket")
+                .repartition("bucket")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
-                .parquet(snap_dir)
+                .parquet(delta_dir)
             )
-            tprev = _tl("merge write", tprev)
-            # buckets that were touched but ended empty (all rows deleted)
-            # may not materialize a dir; they must still repoint (to nothing)
+            tprev = _tl("delta write", tprev)
             written = {
                 int(d.split("=", 1)[1])
-                for d in os.listdir(snap_dir)
+                for d in os.listdir(delta_dir)
                 if d.startswith("bucket=")
             }
+            for b in touched:
+                if b not in written:
+                    continue  # defensive: empty partition never materialized
+                ent = manifest["buckets"].setdefault(
+                    str(b), {"base": None, "deltas": []}
+                )
+                ent["deltas"].append(delta)
 
-            snapshot_id = f"{snap}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{self.root}/{epoch_id}')}"
+            # bounded read amplification: compact ONLY the buckets whose
+            # delta chain exceeded max_deltas — per-epoch compaction work is
+            # proportional to (hot buckets x their bounded chains), never to
+            # table size
+            over = [
+                b for b in touched
+                if len(manifest["buckets"].get(str(b), {}).get("deltas", []))
+                > self.max_deltas
+            ]
+            if over:
+                counter += 1
+                snap = f"snap-{counter:06d}"
+                snap_dir = os.path.join(self.root, "data", snap)
+                folded = self._fold(self._read_buckets(manifest, over))
+                (
+                    folded.select(*_STATE_COLS, "op", "bucket")
+                    .repartition("bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(snap_dir)
+                )
+                compacted = {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(snap_dir)
+                    if d.startswith("bucket=")
+                }
+                for b in over:
+                    manifest["buckets"][str(b)] = {
+                        "base": snap if b in compacted else None,
+                        "deltas": [],
+                    }
+                tprev = _tl(f"compacted {len(over)} buckets", tprev)
+
+            snapshot_id = f"{delta}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{self.root}/{epoch_id}')}"
             if quarantine is not None:
                 quarantine.withColumn("epoch", F.lit(int(epoch_id))).select(
                     [f.name for f in QUARANTINE_SCHEMA.fields]
@@ -195,11 +257,6 @@ class ParquetStateSink(TranscriptSink):
             if lineage:
                 self._write_lineage(lineage, snapshot_id, epoch_id)
 
-            for b in touched:
-                if b in written:
-                    manifest["buckets"][str(b)] = snap
-                else:
-                    manifest["buckets"].pop(str(b), None)
             manifest["counter"] = counter
             manifest["epochs"][str(epoch_id)] = {
                 "snapshot_id": snapshot_id,
@@ -236,16 +293,24 @@ class ParquetStateSink(TranscriptSink):
 
     def read_transcripts(self) -> DataFrame:
         m = self._read_manifest()
-        df = self._read_buckets(m, [int(b) for b in m["buckets"]])
+        buckets = [int(b) for b in m["buckets"]]
+        df = self._read_buckets(m, buckets)
         if df is None:
             return self.spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+        if self._needs_fold(m, buckets):  # fast path: compacted table
+            df = self._fold(df)
         return df.filter(F.col("op") != "D").select(
             [f.name for f in TRANSCRIPT_SCHEMA.fields]
         )
 
     def read_state(self) -> DataFrame | None:
+        """Current folded state (one row per live key, tombstones included)."""
         m = self._read_manifest()
-        return self._read_buckets(m, [int(b) for b in m["buckets"]])
+        buckets = [int(b) for b in m["buckets"]]
+        df = self._read_buckets(m, buckets)
+        if df is None:
+            return None
+        return self._fold(df) if self._needs_fold(m, buckets) else df
 
     def read_quarantine(self) -> DataFrame:
         qdir = os.path.join(self.root, "quarantine")
@@ -269,7 +334,8 @@ class ParquetStateSink(TranscriptSink):
         df = self._read_buckets(m, buckets)
         if df is None:
             return
-        kept = df.filter(~((F.col("op") == "D") & (F.col("lsn") < lsn_horizon)))
+        folded = self._fold(df)  # compacts every delta chain as a side effect
+        kept = folded.filter(~((F.col("op") == "D") & (F.col("lsn") < lsn_horizon)))
         counter = m["counter"] + 1
         snap = f"snap-{counter:06d}"
         snap_dir = os.path.join(self.root, "data", snap)
@@ -281,18 +347,21 @@ class ParquetStateSink(TranscriptSink):
             for d in os.listdir(snap_dir)
             if d.startswith("bucket=")
         }
-        m["buckets"] = {str(b): snap for b in written}
+        m["buckets"] = {str(b): {"base": snap, "deltas": []} for b in written}
         m["counter"] = counter
         self._write_manifest(m)
 
     def vacuum(self, keep_last: int = 4) -> list[str]:
-        """Remove snapshot dirs no bucket references, older than counter-keep_last."""
+        """Remove snap/delta dirs no bucket references, older than
+        counter-keep_last."""
         m = self._read_manifest()
-        referenced = set(m["buckets"].values())
+        referenced = {
+            d for b in m["buckets"] for d in self._bucket_dirs(m, int(b))
+        }
         removed = []
         data_dir = os.path.join(self.root, "data")
         for d in sorted(os.listdir(data_dir)):
-            if not d.startswith("snap-"):
+            if not (d.startswith("snap-") or d.startswith("delta-")):
                 continue
             num = int(d.split("-")[1])
             if d not in referenced and num <= m["counter"] - keep_last:

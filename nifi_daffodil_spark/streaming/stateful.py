@@ -32,6 +32,7 @@ _STATE_SCHEMA = StructType(
         StructField("max_turn", IntegerType()),
         StructField("n_events", LongType()),
         StructField("turn_mask_lo", LongType()),  # bitmask of turns 0..62 seen
+        StructField("turn_mask_hi", LongType()),  # bitmask of turns 63..125 seen
     ]
 )
 
@@ -40,30 +41,52 @@ _OUT_SCHEMA = StructType(
         StructField("conv_id", StringType()),
         StructField("max_turn", IntegerType()),
         StructField("n_events", LongType()),
-        StructField("contiguous", IntegerType()),  # 1 iff turns 0..max_turn all seen
+        # 1 iff turns 0..max_turn all seen; tracked exactly for max_turn<=125
+        # (two 63-bit masks), reported 0 (= unknown) beyond that
+        StructField("contiguous", IntegerType()),
     ]
 )
 
 
-def _track(key, pdf_iter, state: GroupState):
+def _track(key, pdf_iter, state: GroupState, arm_timeout: bool = True):
     (conv_id,) = key
+    if state.hasTimedOut:
+        # ProcessingTimeTimeout fired with no new data for this key: evict so
+        # the store stays bounded by the ACTIVE key set (re-arming here would
+        # keep every key forever and emit a spurious row per key per hour).
+        state.remove()
+        return
     if state.exists:
-        max_turn, n_events, mask = state.get
+        max_turn, n_events, mask_lo, mask_hi = state.get
     else:
-        max_turn, n_events, mask = -1, 0, 0
+        max_turn, n_events, mask_lo, mask_hi = -1, 0, 0, 0
     for pdf in pdf_iter:
         turns = pdf["turn_idx"].astype("int64")
         n_events += len(pdf)
         if len(turns):
             max_turn = max(max_turn, int(turns.max()))
-            # vectorized bitmask update for turns < 63 (pandas, not per-row python)
-            small = turns[turns < 63]
-            for b in set(small.tolist()):
-                mask |= 1 << int(b)
-    state.update((int(max_turn), int(n_events), int(mask)))
-    state.setTimeoutDuration(3_600_000)  # evict idle conversations after 1 h
-    want = (1 << (max_turn + 1)) - 1 if 0 <= max_turn < 63 else 0
-    contiguous = 1 if (max_turn >= 0 and max_turn < 63 and mask == want) else 0
+            # bitmask update over the batch's DISTINCT turns (pandas set, not
+            # per-row python); two 63-bit words cover turns 0..125. Negative
+            # turn_idx (malformed rows, pre-validation) never sets a bit.
+            for b in set(turns[(turns >= 0) & (turns < 126)].tolist()):
+                if b < 63:
+                    mask_lo |= 1 << int(b)
+                else:
+                    mask_hi |= 1 << (int(b) - 63)
+    state.update((int(max_turn), int(n_events), int(mask_lo), int(mask_hi)))
+    if arm_timeout:
+        state.setTimeoutDuration(3_600_000)  # evict idle convs after 1 h
+    if 0 <= max_turn < 63:
+        contiguous = 1 if mask_lo == (1 << (max_turn + 1)) - 1 else 0
+    elif 63 <= max_turn < 126:
+        full_lo = (1 << 63) - 1
+        contiguous = (
+            1
+            if (mask_lo == full_lo and mask_hi == (1 << (max_turn - 62)) - 1)
+            else 0
+        )
+    else:
+        contiguous = 0  # >125 turns: unknown, documented in _OUT_SCHEMA
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
@@ -74,21 +97,37 @@ def _track(key, pdf_iter, state: GroupState):
     )
 
 
-def track_conv_progress(events: DataFrame) -> DataFrame:
+def track_conv_progress(events: DataFrame, evict_idle: bool = True) -> DataFrame:
     """Streaming per-conversation progress: (conv_id, max_turn, n_events,
     contiguous) updated every micro-batch, state kept across batches.
 
     Input: a streaming DataFrame with (conv_id string, turn_idx int/long).
     Output mode must be `update`.
+
+    evict_idle: arm the 1-hour ProcessingTimeTimeout that evicts idle
+    conversations — the bounded-state mode for a continuous tail. MUST be
+    False under Trigger.AvailableNow: a pending processing-time timeout
+    makes AvailableNow keep scheduling empty micro-batches until the
+    timeout fires (observed: 100+ empty commits for an 8-file replay), so
+    bounded replays run with NoTimeout (their state dies with the query).
     """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_idle
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdf_iter, state):
+        return _track(key, pdf_iter, state, arm_timeout=evict_idle)
+
     return (
         events.select("conv_id", "turn_idx")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _track,
+            fn,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -64,6 +64,20 @@ def test_exactly_consumed_guard(spark, payloads):
     assert bad.filter(F.col("_error") == "LEFTOVER_DATA").count() == 2
 
 
+def test_short_payload_flagged_not_silent_zero(spark):
+    # A payload shorter than the declared extents must NOT silently decode
+    # missing nibbles as 0: substring past end yields '' and instr(hex,'')
+    # is 1, so without the guard a 1-byte payload "reads" a u32 as garbage.
+    rows = [(1, bytes.fromhex("df")), (2, bytes.fromhex("dfd1abc012345678"))]
+    df = spark.createDataFrame(rows, "lsn long, payload binary")
+    out = {
+        r["lsn"]: r["_error"]
+        for r in parse_fixed_binary(df, [BinaryField("u32", 0, 8)]).collect()
+    }
+    assert out[1] == "SHORT_PAYLOAD"
+    assert out[2] is None
+
+
 def test_invalid_specs_fail_fast(spark):
     with pytest.raises(ValueError, match="whole-byte"):
         decode_field(F.lit("00"), BinaryField("x", 1, 2), byte_order="little")

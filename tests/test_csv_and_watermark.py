@@ -159,7 +159,11 @@ def test_stateful_conv_progress_carries_state_across_batches(spark, tmp_path):
         .parquet(str(src) + "/*.parquet")
     )
     q = (
-        track_conv_progress(stream)
+        # evict_idle=False under availableNow: an armed processing-time
+        # timeout makes the trigger spin empty micro-batches until the 1 h
+        # timeout fires (the query "passes" awaitTermination(180) but keeps
+        # burning cores for the rest of the session)
+        track_conv_progress(stream, evict_idle=False)
         .writeStream.format("memory")
         .queryName("conv_progress")
         .outputMode("update")
@@ -167,7 +171,7 @@ def test_stateful_conv_progress_carries_state_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow replay must terminate"
     rows = [
         (r["conv_id"], r["max_turn"], r["n_events"], r["contiguous"])
         for r in spark.table("conv_progress").collect()
@@ -177,3 +181,44 @@ def test_stateful_conv_progress_carries_state_across_batches(spark, tmp_path):
     assert ("A", 1, 2, 1) in rows
     assert ("A", 3, 3, 0) in rows  # state carried: n_events 2 -> 3
     assert ("B", 0, 1, 1) in rows
+
+
+def test_stateful_timeout_evicts_state():
+    """The ProcessingTimeTimeout path (continuous-tail mode) evicts the
+    key's state instead of re-arming forever (round-2 advice item #1).
+    Driven directly with a stub GroupState — firing a real 1 h timeout in a
+    test is not practical."""
+    from nifi_daffodil_spark.streaming.stateful import _track
+
+    class _Stub:
+        def __init__(self, timed_out):
+            self.hasTimedOut = timed_out
+            self.exists = False
+            self.removed = False
+            self.updated = None
+            self.armed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.armed = True
+
+    # timeout fired: state removed, nothing emitted, timer NOT re-armed
+    st = _Stub(timed_out=True)
+    out = list(_track(("conv",), iter([]), st))
+    assert out == [] and st.removed and not st.armed and st.updated is None
+
+    # normal batch: state updated and the eviction timer armed
+    import pandas as pd
+
+    st2 = _Stub(timed_out=False)
+    out2 = list(_track(("conv",), iter([pd.DataFrame({"turn_idx": [0, 1]})]), st2))
+    assert len(out2) == 1 and st2.updated is not None and st2.armed
+    # arm_timeout=False (availableNow mode) must not arm the timer
+    st3 = _Stub(timed_out=False)
+    list(_track(("conv",), iter([pd.DataFrame({"turn_idx": [0]})]), st3, arm_timeout=False))
+    assert not st3.armed

@@ -98,7 +98,18 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
     m1 = eng.sink._read_manifest()
     moved = [b for b in m0["buckets"] if m0["buckets"][b] != m1["buckets"].get(b)]
     assert len(moved) == 1
+    # merge-on-read: the small epoch APPENDED a delta to that bucket's chain
+    # — the epoch-0 data was not rewritten (its dir is still referenced)
+    before, after = m0["buckets"][moved[0]], m1["buckets"][moved[0]]
+    assert after["deltas"][: len(before["deltas"])] == before["deltas"]
+    assert len(after["deltas"]) == len(before["deltas"]) + 1
     assert eng.sink.read_transcripts().count() == 200
+    # and the fold resolves the update
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in eng.sink.read_transcripts().collect()
+    }
+    assert got[("conv-7", 0)] == "u"
 
 
 def test_vacuum_removes_unreferenced_snapshots(spark, tmp_path):
@@ -111,8 +122,10 @@ def test_vacuum_removes_unreferenced_snapshots(spark, tmp_path):
         )
     removed = eng.sink.vacuum(keep_last=1)
     assert removed
-    data = os.listdir(os.path.join(eng.sink.root, "data"))
-    assert set(eng.sink._read_manifest()["buckets"].values()) <= set(data)
+    data = set(os.listdir(os.path.join(eng.sink.root, "data")))
+    m = eng.sink._read_manifest()
+    referenced = {d for b in m["buckets"] for d in eng.sink._bucket_dirs(m, int(b))}
+    assert referenced <= data
     assert eng.sink.read_transcripts().collect()[0]["text"] == "v5"
 
 
@@ -185,3 +198,25 @@ def test_epoch_stats_agree_with_lineage(spark, tmp_path):
     assert st.rows_applied == sum(r["rows_applied"] for r in lin) == 1  # D excluded
     assert st.rows_quarantined == 1
     assert st.extra["raw_events"] == 3  # observe() counted the full pass
+
+
+def test_delta_chain_bounded_by_compaction(spark, tmp_path):
+    """Merge-on-read invariant: a hot bucket's delta chain never exceeds
+    max_deltas + 1 — the next epoch to touch an over-limit bucket folds
+    base+deltas into a fresh base and resets the chain. State stays correct
+    throughout (LWW winner survives the compaction)."""
+    eng = _engine(spark, tmp_path)
+    sink = eng.sink
+    for e in range(2 * (sink.max_deltas + 1)):
+        eng.process_batch(
+            _events(spark, [(e + 1, "U", "hot", 0, "user", f"v{e}", None, TS)]), e
+        )
+        m = sink._read_manifest()
+        for b in m["buckets"]:
+            assert len(m["buckets"][b]["deltas"]) <= sink.max_deltas + 1
+    m = sink._read_manifest()
+    # at least one compaction must have produced a base for the hot bucket
+    (ent,) = m["buckets"].values()
+    assert ent["base"] is not None
+    rows = sink.read_transcripts().collect()
+    assert len(rows) == 1 and rows[0]["text"] == f"v{2 * (sink.max_deltas + 1) - 1}"

@@ -277,3 +277,123 @@ def test_winnow_fingerprints_properties(spark):
     # map-only: no exchange in the plan
     plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_connected_components_transitive_chain(spark):
+    # A~B, B~C, plus an unrelated pair D~E: the chain must collapse into ONE
+    # component with keeper=min id, proving transitivity (a pairwise-only
+    # view would leave A and C in different "clusters")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["is_dup"])
+        for r in text_dedup.resolve_keepers(pairs).collect()
+    }
+    assert out == {
+        1: (1, 0), 2: (1, 1), 3: (1, 1),
+        10: (10, 0), 11: (10, 1),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path graph exercises the pointer-jumping path: plain
+    # neighbor propagation alone needs ~40 rounds, the operator caps at 25
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    cc = text_dedup.connected_components(pairs).collect()
+    assert len(cc) == n + 1
+    assert {r["component"] for r in cc} == {0}
+
+
+def test_ivf_index_build_once_query_many(spark, tmp_path):
+    """Persisted IVF index (round-2 verdict item #4): build writes centroids
+    + cell-partitioned vectors to parquet; load + query must equal the
+    per-call ivf_topk path (same quantizer seed => same cells), and the
+    batched multi-query path must equal per-query serving."""
+    from pyspark.sql import functions as F
+
+    from nifi_daffodil_spark.operators.similarity import (
+        IvfIndex,
+        as_double_vecs,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    e = as_double_vecs(
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    )
+    idx_path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(e, idx_path, n_cells=8, seed=7)
+
+    # reload from disk: identical centroids, no retraining
+    idx2 = IvfIndex.load(spark, idx_path)
+    assert np.allclose(idx.centroids, idx2.centroids)
+
+    queries = [r["v"] for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    cents = ivf_train_centroids(e, n_cells=8, seed=7)
+    for q in queries:
+        per_call = [(r["vec_id"], round(r["cos"], 9))
+                    for r in ivf_topk(e, q, cents, k=5, nprobe=4).collect()]
+        served = [(r["vec_id"], round(r["cos"], 9))
+                  for r in idx2.topk(q, k=5, nprobe=4).collect()]
+        assert served == per_call
+
+    # batched multi-query == per-query serving
+    batch = idx2.topk_batch([(i, q) for i, q in enumerate(queries)], k=5, nprobe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], round(r["cos"], 9)))
+    for i, q in enumerate(queries):
+        single = [(r["vec_id"], round(r["cos"], 9))
+                  for r in idx2.topk(q, k=5, nprobe=4).collect()]
+        # collect() order within a qid is not defined — compare sorted
+        key = lambda t: (-t[1], t[0])  # noqa: E731
+        assert sorted(got[i], key=key) == sorted(single, key=key)
+
+
+def test_bmp_wav_decode_roundtrip(spark):
+    """Real numpy decode tier: synth container -> decode recovers metadata
+    and mean values exactly; row padding and extra RIFF chunks handled."""
+    # width=3 forces row padding (9 bytes -> stride 12): mean must EXCLUDE pad
+    pix = bytes(range(1, 28))  # 3x3 x 3bpp = 27 payload bytes
+    bmp = multimodal.bmp_bytes(3, 3, pix)
+    d = multimodal.decode_bmp(bmp)
+    assert (d["width"], d["height"]) == (3, 3)
+    assert d["mean_value"] == sum(range(1, 28)) / 27
+
+    samples = np.array([100, -200, 32767, -32768], dtype="<i2")
+    wav = multimodal.wav_bytes(16000, samples.tobytes())
+    # inject an extra chunk before data to exercise the chunk walk
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"info"
+    wav2 = wav[:36] + extra + wav[36:]
+    d = multimodal.decode_wav(wav2)
+    assert d["sample_rate"] == 16000 and d["n_samples"] == 4
+    assert d["mean_value"] == float(samples.astype(np.float64).mean())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NOT_BMP"):
+        multimodal.decode_bmp(b"XX")
+    with _pytest.raises(ValueError, match="TRUNCATED"):
+        multimodal.decode_bmp(multimodal.bmp_bytes(4, 2, bytes(24))[:-5])
+
+
+def test_decode_media_distributed(spark):
+    """The mapInPandas decode path: good BMP/WAV rows decode, a corrupt
+    payload routes to error without failing the batch."""
+    bmp = multimodal.bmp_bytes(4, 2, bytes(range(24)))
+    wav = multimodal.wav_bytes(8000, bytes(range(16)))
+    rows = [
+        (0, "image", bmp, None),
+        (1, "audio", wav, None),
+        (2, "image", b"garbage", None),
+        (3, "video", b"anything", None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (4, 2) and out[0]["error"] is None
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == 8
+    assert out[2]["error"] == "NOT_BMP"
+    assert out[3]["error"] == "UNSUPPORTED_KIND"
