@@ -71,3 +71,35 @@ def test_lww_dedup_no_extra_exchange_after_repartition(spark):
     )
     plan = _plan(eng._finish_batch(ev))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_connected_components_no_cartesian(spark):
+    """The transitive-closure rounds are equality joins + groupBy min —
+    never a cross join, at any iteration count."""
+    from nifi_daffodil_spark.operators.text_dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "d1 long, d2 long"
+    )
+    plan = _plan(connected_components(pairs, max_iter=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """Serving reads ONLY the probed cells' files: the vectors scan must
+    carry a partition filter on `cell` — at 10^9 rows this is the
+    difference between scanning nprobe/n_cells of the index and all of it."""
+    import numpy as np
+
+    from nifi_daffodil_spark.operators.similarity import IvfIndex
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    idx = IvfIndex.build(df, str(tmp_path / "ivf"), n_cells=4, sample=64)
+    plan = _plan(idx.topk(rows[0][1], k=3, nprobe=1))
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, f"no cell partition filter in scan:\n{plan[:2000]}"
