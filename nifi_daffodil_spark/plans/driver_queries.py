@@ -1263,6 +1263,53 @@ FROM documents
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of (backward) join: each purchase event gets the user's most
+    recent view at-or-before its timestamp. Spark re-expression = tagged
+    union + one per-key window (no range join, no interval explosion);
+    oracle = DuckDB's NATIVE `ASOF LEFT JOIN`, so the semantics (inclusive
+    <=, latest match, left rows without a match kept) are pinned against an
+    independent implementation. Right side pre-deduped per (user, ts) by
+    max event_id — equal-timestamp matches are ambiguous otherwise."""
+    from pyspark.sql import Window as W
+
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wdedup = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        views.withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        right_cols={"event_id": "view_id", "ts": "view_ts", "value": "view_value"},
+    )
+
+
+O_ASOF_JOIN = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'),
+vr AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       vr.event_id AS view_id, vr.ts AS view_ts, vr.value AS view_value
+FROM p ASOF LEFT JOIN vr ON p.user_id = vr.user_id AND p.ts >= vr.ts
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode, no codec libs (round-2 verdict item #5):
     deterministic BMP (4x2 24-bpp, pixels = md5(doc_id) bytes + first 8
@@ -1377,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
+        "asof_join": q_asof_join,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -1422,5 +1470,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": O_DOC_WINNOW,
         "multimodal_bytes": O_MULTIMODAL,
         "multimodal_decode": _multimodal_decode_oracle(),
+        "asof_join": O_ASOF_JOIN,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

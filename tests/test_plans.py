@@ -103,3 +103,12 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
     assert m, f"no cell partition filter in scan:\n{plan[:2000]}"
+
+
+def test_asof_join_no_range_join_explosion(spark):
+    """The as-of join must plan as union+window (one key shuffle), never a
+    range-condition nested-loop/cartesian join."""
+    plan = _plan(dq.q_asof_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan

@@ -397,3 +397,31 @@ def test_decode_media_distributed(spark):
     assert out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == 8
     assert out[2]["error"] == "NOT_BMP"
     assert out[3]["error"] == "UNSUPPORTED_KIND"
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: latest right at-or-before left's ts (inclusive),
+    left rows with no prior right keep nulls, keys never cross."""
+    import datetime as dt
+
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(0)), (4, 20, t(9))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(2)), (101, 10, t(4)), (102, 30, t(1))],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(left, right, right_cols={"rid": "rid_r"}).collect()
+    }
+    assert out == {
+        1: 101,   # latest of the two priors
+        2: 100,   # equal ts matches (inclusive)
+        3: None,  # nothing at-or-before
+        4: None,  # key 20 has no right rows at all
+    }
