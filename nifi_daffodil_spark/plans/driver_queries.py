@@ -1263,6 +1263,91 @@ FROM documents
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) — the standard
+    interaction-log primitive for training-data pipelines. Pure windows:
+    lag -> new-session flag -> running sum = session seq -> session-level
+    agg. Two window passes + one agg over the SAME (user_id) partitioning,
+    so Catalyst reuses one shuffle for all three. Ties broken by event_id
+    (deterministic, mirrored in the oracle)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; ANSI forbids ntz->long directly.
+    # ntz -> timestamp -> long (session tz is UTC); the GAP is a difference,
+    # so any fixed offset cancels and the oracle's INTERVAL compare agrees.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(run))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+O_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0
+         END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, CAST(sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS session_seq
+  FROM o)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 analog (shipping-priority top-k): three-way join
+    customer ⋈ orders ⋈ lineitem with selective filters on both sides,
+    revenue agg per order, top 10. Plan properties the plan tests lock
+    elsewhere apply here: customer (150 rows x sf) broadcasts, filters push
+    to every scan, the only wide shuffle is the revenue agg."""
+    cutoff = "1996-03-15"  # the classic Q3 date; data spans 1995..2001
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of (backward) join: each purchase event gets the user's most
     recent view at-or-before its timestamp. Spark re-expression = tagged
@@ -1425,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "tpch_q3_topk": q_tpch_q3_topk,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -1471,5 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": O_MULTIMODAL,
         "multimodal_decode": _multimodal_decode_oracle(),
         "asof_join": O_ASOF_JOIN,
+        "sessionize": O_SESSIONIZE,
+        "tpch_q3_topk": O_TPCH_Q3,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

@@ -112,3 +112,18 @@ def test_asof_join_no_range_join_explosion(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag-window, running-sum window, and session agg all key on user_id:
+    Catalyst must reuse ONE exchange for all three (hashpartitioning on
+    user_id satisfies the agg's (user_id, session_seq) clustering)."""
+    plan = _plan(dq.q_sessionize(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q3_broadcasts_and_pushes_down(spark):
+    plan = _plan(dq.q_tpch_q3_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan and "LessThan(o_orderdate" in plan
