@@ -1064,6 +1064,55 @@ LIMIT 10
 """
 
 
+def q_ann_ivf_batch(spark, sf_dir):
+    """Batched ANN served from the PERSISTED IVF index (round-3: build
+    once to parquet — centroids + cell-partitioned vectors — then serve).
+    Three queries answered by ONE distributed job via IvfIndex.topk_batch;
+    nprobe = n_cells here, so the result is exhaustively exact and the
+    DuckDB oracle can pin it (probe-limited recall is graded by pytest
+    instead). The index build is cached per sf_dir; a rerun only LOADS."""
+    import hashlib
+    import os as _os
+
+    from nifi_daffodil_spark.operators.similarity import IvfIndex, as_double_vecs
+
+    e = as_double_vecs(_t(spark, sf_dir, "embeddings"))
+    path = _os.path.join(
+        "/tmp", f"ndspark_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    marker = _os.path.join(path, "_complete")
+    if not _os.path.exists(marker):
+        IvfIndex.build(e, path, n_cells=8, seed=7)
+        open(marker, "w").write("ok")
+    idx = IvfIndex.load(spark, path)
+    queries = [
+        (int(r["vec_id"]), r["v"])
+        for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    out = idx.topk_batch(queries, k=5, nprobe=8)
+    return out.select(
+        "qid", "vec_id", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+O_ANN_IVF_BATCH = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(e.v, q.qv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             e.vec_id
+         ) AS rn
+  FROM e, q)
+SELECT qid, vec_id, round(cos, 4) AS cos_sim FROM scored WHERE rn <= 5
+"""
+
+
 def q_text_langid(spark, sf_dir):
     """Heuristic language ID by stopword ratio (n-gram heuristic family)."""
     d = _t(spark, sf_dir, "documents")
@@ -1502,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "ann_topk": q_ann_topk,
+        "ann_ivf_batch": q_ann_ivf_batch,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
@@ -1550,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": O_NEARDUP_COS,
         "neardup_cosine_lsh": _srp_oracle(),
         "ann_topk": O_ANN_TOPK,
+        "ann_ivf_batch": O_ANN_IVF_BATCH,
         "text_langid": O_LANGID,
         "text_quality": O_QUALITY,
         "text_token_count": O_TOKENS,
