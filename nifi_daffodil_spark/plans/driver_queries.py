@@ -1312,6 +1312,29 @@ FROM documents
 """
 
 
+def q_agg_quantiles(spark, sf_dir):
+    """Exact median / p95 of event value per event_type (the quantile
+    family; Spark's exact `percentile` agg — approx_count_distinct/
+    percentile_approx are sketches whose bit-level output is
+    engine-specific, so the ORACLE-GRADED entry uses the exact form and the
+    sketch variants stay engine-internal). Linear interpolation semantics
+    match DuckDB's quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+O_AGG_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap) — the standard
     interaction-log primitive for training-data pipelines. Pure windows:
@@ -1561,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "agg_quantiles": q_agg_quantiles,
         "tpch_q3_topk": q_tpch_q3_topk,
         "csv_roundtrip": q_csv_roundtrip,
     }
@@ -1610,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_decode_oracle(),
         "asof_join": O_ASOF_JOIN,
         "sessionize": O_SESSIONIZE,
+        "agg_quantiles": O_AGG_QUANTILES,
         "tpch_q3_topk": O_TPCH_Q3,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }
