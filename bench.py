@@ -63,6 +63,16 @@ HEADLINE = [
     "text_token_count",
     "doc_fingerprint",
     "ann_topk",
+    # round-3 additions (each <2 s warm at sf0.1). dedup_components is NOT
+    # here: its iterative closure materializes eagerly at plan-build time
+    # (per-round localCheckpoint), so the warm+timed materialize harness
+    # would time checkpoint re-reads, not the operator.
+    "asof_join",
+    "sessionize",
+    "tpch_q3_topk",
+    "agg_quantiles",
+    "multimodal_decode",
+    "ann_ivf_batch",
 ]
 
 _CDC_WORKER = r"""
