@@ -4,6 +4,13 @@ Usage (local sandbox):
     python jobs/run_cdc.py --wal-dir /path/wal --table /path/table \
         --checkpoint /path/ckpt [--mode stream|batch] [--buckets 32]
         [--validation full] [--gen-events N]   # optionally generate a demo WAL
+        [--metrics-stream DIR]                 # bounded-state metrics side-channel
+
+Recovery / maintenance:
+    --mode replay-quarantine --epoch-id N [--quarantine-epochs 0,1]
+        re-ingest quarantined rows after a validator/config fix
+    --mode maintenance [--tombstone-horizon LSN] [--vacuum-keep N]
+        reclaim old delete tombstones / unreferenced snapshot+delta dirs
 
 Cluster packaging (BASELINE.json:14):
     zip -r engine.zip nifi_daffodil_spark
@@ -29,7 +36,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--wal-dir", required=True)
     ap.add_argument("--table", required=True, help="sink root dir (parquet) or iceberg table name")
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    ap.add_argument("--mode",
+                    choices=["stream", "batch", "replay-quarantine", "maintenance"],
+                    default="stream")
+    ap.add_argument("--epoch-id", type=int, default=None,
+                    help="epoch id for --mode replay-quarantine (must be "
+                         "unused; committed ids are no-ops)")
+    ap.add_argument("--quarantine-epochs", default=None,
+                    help="comma-separated quarantine epochs to retry "
+                         "(default all) for --mode replay-quarantine")
+    ap.add_argument("--vacuum-keep", type=int, default=None,
+                    help="maintenance: remove unreferenced snapshot/delta "
+                         "dirs older than counter-N")
+    ap.add_argument("--tombstone-horizon", type=int, default=None,
+                    help="maintenance: reclaim delete tombstones with "
+                         "lsn < N (no smaller lsn can still arrive)")
     ap.add_argument("--sink", choices=["parquet", "iceberg"], default="parquet")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--salt", type=int, default=8)
@@ -102,10 +123,29 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         for mq in metrics_qs:
             mq.awaitTermination()
-    else:
+    elif args.mode == "batch":
         from nifi_daffodil_spark.sources.wal import read_wal_dir
 
         eng.process_batch(read_wal_dir(spark, args.wal_dir), 0)
+    elif args.mode == "replay-quarantine":
+        if args.epoch_id is None:
+            ap.error("--mode replay-quarantine requires --epoch-id")
+        epochs = (
+            [int(x) for x in args.quarantine_epochs.split(",")]
+            if args.quarantine_epochs
+            else None
+        )
+        eng.replay_quarantine(args.epoch_id, epochs)
+    else:  # maintenance
+        if args.tombstone_horizon is None and args.vacuum_keep is None:
+            ap.error("--mode maintenance needs --tombstone-horizon and/or "
+                     "--vacuum-keep")
+        if args.tombstone_horizon is not None:
+            sink.compact_tombstones(args.tombstone_horizon)
+            print(f"compacted tombstones below lsn {args.tombstone_horizon}")
+        if args.vacuum_keep is not None:
+            removed = sink.vacuum(keep_last=args.vacuum_keep)
+            print(f"vacuumed {len(removed)} dirs: {removed}")
 
     n = sink.read_transcripts().count()
     applied = [s for s in eng.stats if not s.skipped]

@@ -198,6 +198,28 @@ class CdcEngine:
             batch.unpersist()
             validated.unpersist()
 
+    def replay_quarantine(
+        self, epoch_id: int, epochs: list[int] | None = None
+    ) -> EpochStats:
+        """Re-ingest quarantined rows as a NEW epoch — the recovery path
+        after a validator/config fix (e.g. validation_mode relaxed, a new
+        role allowed). Quarantine rows carry the ORIGINAL input verbatim as
+        JSON (failure atomicity, AbstractDaffodilProcessor.java:164-172), so
+        they parse straight back into the event shape and run the normal
+        pipeline; rows that still fail simply re-quarantine under the new
+        epoch. `epochs` filters which quarantine epochs to retry (default:
+        all). Idempotent like any epoch: replaying a committed epoch_id is
+        a no-op."""
+        from nifi_daffodil_spark.schemas import EVENT_SCHEMA
+
+        q = self.sink.read_quarantine()
+        if epochs is not None:
+            q = q.filter(F.col("epoch").isin([int(e) for e in epochs]))
+        events = q.select(
+            F.from_json(F.col("raw"), EVENT_SCHEMA).alias("e")
+        ).select("e.*")
+        return self.process_batch(events, epoch_id)
+
     # ---- batch replay -----------------------------------------------------
 
     def replay_segments(self, segment_groups: list[tuple[list[str], str]],

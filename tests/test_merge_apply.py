@@ -220,3 +220,42 @@ def test_delta_chain_bounded_by_compaction(spark, tmp_path):
     assert ent["base"] is not None
     rows = sink.read_transcripts().collect()
     assert len(rows) == 1 and rows[0]["text"] == f"v{2 * (sink.max_deltas + 1) - 1}"
+
+
+def test_replay_quarantine_after_config_fix(spark, tmp_path):
+    """Recovery path: rows quarantined under strict validation are
+    re-ingested verbatim as a new epoch once the config is fixed (role
+    check only exists in 'full'); still-bad rows re-quarantine; the replay
+    epoch is idempotent like any other."""
+    from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+    sink = ParquetStateSink(spark, str(tmp_path / "t"), n_buckets=8)
+    strict = CdcEngine(
+        spark, sink, EngineConfig(n_buckets=8, n_salt=4, validation_mode="full")
+    )
+    strict.process_batch(
+        _events(
+            spark,
+            [
+                (1, "I", "a", 0, "robot", "quarantined role", None, TS),
+                (2, "I", None, 0, "user", "always bad", None, TS),
+                (3, "I", "b", 0, "user", "fine", None, TS),
+            ],
+        ),
+        0,
+    )
+    assert sink.read_transcripts().count() == 1
+    assert sink.read_quarantine().count() == 2
+
+    relaxed = CdcEngine(
+        spark, sink, EngineConfig(n_buckets=8, n_salt=4, validation_mode="limited")
+    )
+    st = relaxed.replay_quarantine(epoch_id=100)
+    assert not st.skipped
+    rows = {r["conv_id"]: r for r in sink.read_transcripts().collect()}
+    assert set(rows) == {"a", "b"}       # the role row recovered
+    assert rows["a"]["role"] == "robot"  # verbatim payload, not rewritten
+    # the null-conv row is bad under ANY mode: re-quarantined under epoch 100
+    assert sink.read_quarantine().filter("epoch = 100").count() == 1
+    # idempotent: replaying the same epoch id is a no-op
+    assert relaxed.replay_quarantine(epoch_id=100).skipped
