@@ -140,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.tombstone_horizon is None and args.vacuum_keep is None:
             ap.error("--mode maintenance needs --tombstone-horizon and/or "
                      "--vacuum-keep")
+        if args.sink == "iceberg":
+            # Iceberg maintenance is catalog-side (expire_snapshots /
+            # rewrite_data_files / remove_orphan_files procedures), not a
+            # sink method — fail clearly instead of AttributeError
+            ap.error("--mode maintenance applies to the parquet sink; for "
+                     "Iceberg run the table-maintenance procedures "
+                     "(CALL catalog.system.rewrite_data_files / "
+                     "expire_snapshots) against the catalog")
         if args.tombstone_horizon is not None:
             sink.compact_tombstones(args.tombstone_horizon)
             print(f"compacted tombstones below lsn {args.tombstone_horizon}")

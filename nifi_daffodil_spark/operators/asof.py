@@ -54,7 +54,10 @@ def asof_join(
     payload = F.struct(
         *[F.col(c).alias(alias) for c, alias in right_cols.items()]
     )
-    r = right.select(
+    # NULL-ts right rows must never match: under asc ordering they would
+    # sort FIRST and their payload would propagate to every left row of the
+    # key, where SQL ASOF (`l.ts >= r.ts` is NULL) matches nothing
+    r = right.filter(F.col(ts).isNotNull()).select(
         F.col(on), F.col(ts), F.lit(0).alias("_side"), payload.alias("_rpay")
     )
     l_cols = left.columns

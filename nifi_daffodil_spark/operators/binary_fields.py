@@ -103,7 +103,12 @@ def parse_fixed_binary(
     for f in fields:
         out = out.withColumn(f.name, decode_field(F.col("_hex"), f, byte_order))
     max_nibbles = max(f.nibble_offset + f.nibble_len for f in fields)
-    short = F.octet_length(F.col(payload_col)) * F.lit(2) < F.lit(max_nibbles)
+    # isNull explicitly: octet_length(NULL)*2 < n is NULL, and F.when(NULL)
+    # silently passes the row as valid — the exact silent-garbage mode this
+    # guard exists to close (code-review finding)
+    short = F.col(payload_col).isNull() | (
+        F.octet_length(F.col(payload_col)) * F.lit(2) < F.lit(max_nibbles)
+    )
     if expected_len_col is not None:
         err = F.when(short, F.lit("SHORT_PAYLOAD")).when(
             F.octet_length(F.col(payload_col)) != F.col(expected_len_col),

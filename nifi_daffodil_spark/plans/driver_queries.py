@@ -1077,9 +1077,16 @@ def q_ann_ivf_batch(spark, sf_dir):
     from nifi_daffodil_spark.operators.similarity import IvfIndex, as_double_vecs
 
     e = as_double_vecs(_t(spark, sf_dir, "embeddings"))
-    path = _os.path.join(
-        "/tmp", f"ndspark_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
+    # cache key includes the source file's (size, mtime) fingerprint, so
+    # regenerated fixture data invalidates the cached index instead of
+    # silently serving stale vectors (code-review finding); the fingerprint
+    # also de-races concurrent builders onto distinct paths per data version
+    src = f"{sf_dir}/embeddings.parquet"
+    st = _os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    path = _os.path.join("/tmp", f"ndspark_ivf_{key}")
     marker = _os.path.join(path, "_complete")
     if not _os.path.exists(marker):
         IvfIndex.build(e, path, n_cells=8, seed=7)
@@ -1347,12 +1354,14 @@ def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ in the parquet; ANSI forbids ntz->long directly.
-    # ntz -> timestamp -> long (session tz is UTC); the GAP is a difference,
-    # so any fixed offset cancels and the oracle's INTERVAL compare agrees.
-    sec = F.col("ts").cast("timestamp").cast("long")
-    gap = sec - F.lag(sec).over(w)
+    # unix_micros keeps FULL microsecond precision — a whole-second cast
+    # truncates, so a 1800.9s gap would read as 1800 and disagree with the
+    # oracle's exact INTERVAL compare (code-review finding). The GAP is a
+    # difference, so the ntz->timestamp session-tz offset cancels.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     flagged = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     )
     run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow

@@ -186,19 +186,22 @@ class IcebergMergeSink(TranscriptSink):
         # bigint widenings in this batch must exist on the table or the
         # MERGE's UPDATE/INSERT column lists fail to resolve
         self.evolve_schema(batch)
-        # explicit skew spreading: shuffle source by (bucket, per-turn salt)
-        src = batch.withColumn(
-            "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.n_salt))
-        ).repartition("bucket", "_salt").drop("_salt")
-        src.createOrReplaceTempView("_cdc_batch_src")
-        self.spark.conf.set(
-            f"spark.wap.snapshot-property.{EPOCH_PROP}", str(epoch_id)
+        # failure route + provenance are written BEFORE the MERGE: the MERGE
+        # commit (epoch id in the snapshot summary) is the idempotence
+        # point, so anything written after it is lost forever if the driver
+        # dies in between (retry sees epoch_applied and skips). Writing
+        # before makes quarantine/lineage at-least-once on crash-retry —
+        # the same ordering (and duplicate semantics) as the parquet sink,
+        # whose appends precede its manifest swap. The lineage snapshot_id
+        # label is therefore epoch-derived (deterministic), not the Iceberg
+        # numeric snapshot id — the mapping to the physical snapshot lives
+        # in the snapshot summary's engine.epoch property.
+        import uuid as _uuid
+
+        snapshot_id = (
+            f"epoch-{int(epoch_id)}-"
+            f"{_uuid.uuid5(_uuid.NAMESPACE_URL, f'{self.table}/{epoch_id}')}"
         )
-        self.spark.sql(merge_sql(self.table))
-        snapshot_id = self._last_snapshot_id()
-        # failure route + provenance: same content the parquet sink persists
-        # (locked by tests/test_iceberg_sql.py parity test) — previously both
-        # arguments were silently dropped on the production path
         if quarantine is not None:
             (
                 quarantine.withColumn("epoch", F.lit(int(epoch_id)))
@@ -226,8 +229,22 @@ class IcebergMergeSink(TranscriptSink):
                 .writeTo(f"{self.table}_lineage")
                 .append()
             )
+        # explicit skew spreading: shuffle source by (bucket, per-turn salt)
+        src = batch.withColumn(
+            "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.n_salt))
+        ).repartition("bucket", "_salt").drop("_salt")
+        src.createOrReplaceTempView("_cdc_batch_src")
+        self.spark.conf.set(
+            f"spark.wap.snapshot-property.{EPOCH_PROP}", str(epoch_id)
+        )
+        self.spark.sql(merge_sql(self.table))
         self._applied.add(str(epoch_id))
-        return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id}
+        return {
+            "skipped": False,
+            "epoch": epoch_id,
+            "snapshot_id": snapshot_id,
+            "iceberg_snapshot": self._last_snapshot_id(),
+        }
 
     def read_transcripts(self) -> DataFrame:
         return self.spark.table(self.table).select(

@@ -61,7 +61,10 @@ def _track(key, pdf_iter, state: GroupState, arm_timeout: bool = True):
     else:
         max_turn, n_events, mask_lo, mask_hi = -1, 0, 0, 0
     for pdf in pdf_iter:
-        turns = pdf["turn_idx"].astype("int64")
+        # raw pre-validation WAL rows may carry NULL turn_idx (Arrow->pandas
+        # renders them NaN; astype would raise IntCastingNaNError and kill
+        # the query) — they count as events but contribute no turn
+        turns = pdf["turn_idx"].dropna().astype("int64")
         n_events += len(pdf)
         if len(turns):
             max_turn = max(max_turn, int(turns.max()))

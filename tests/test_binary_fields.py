@@ -95,3 +95,16 @@ def test_stays_in_codegen(spark, payloads):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_payload_flagged(spark):
+    # octet_length(NULL)*2 < n is NULL -> F.when(NULL) passes the row as
+    # valid unless isNull is explicit (code-review regression test)
+    rows = [(1, None), (2, bytes.fromhex("dfd1"))]
+    df = spark.createDataFrame(rows, "lsn long, payload binary")
+    out = {
+        r["lsn"]: r["_error"]
+        for r in parse_fixed_binary(df, [BinaryField("u16", 0, 4)]).collect()
+    }
+    assert out[1] == "SHORT_PAYLOAD"
+    assert out[2] is None

@@ -222,3 +222,30 @@ def test_stateful_timeout_evicts_state():
     st3 = _Stub(timed_out=False)
     list(_track(("conv",), iter([pd.DataFrame({"turn_idx": [0]})]), st3, arm_timeout=False))
     assert not st3.armed
+
+
+def test_stateful_null_turn_idx_does_not_crash():
+    """Raw pre-validation WAL rows can carry NULL turn_idx (NaN after
+    Arrow->pandas); astype('int64') on NaN raises and would kill the whole
+    metrics query (code-review regression test)."""
+    import numpy as np
+    import pandas as pd
+
+    from nifi_daffodil_spark.streaming.stateful import _track
+
+    class _Stub:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = _Stub()
+    pdf = pd.DataFrame({"turn_idx": [0.0, np.nan, 2.0]})
+    (row,) = list(_track(("conv",), iter([pdf]), st))
+    assert row["n_events"].iloc[0] == 3   # null-turn row still counted
+    assert row["max_turn"].iloc[0] == 2
+    assert row["contiguous"].iloc[0] == 0  # turn 1 genuinely missing

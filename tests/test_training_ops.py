@@ -425,3 +425,20 @@ def test_asof_join_semantics(spark):
         3: None,  # nothing at-or-before
         4: None,  # key 20 has no right rows at all
     }
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    # a NULL-ts right row sorts FIRST under asc ordering and would
+    # propagate to every left row; SQL ASOF semantics match nothing
+    import datetime as dt
+
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1))], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, None)], "rid long, user_id long, ts timestamp"
+    )
+    out = asof_join(left, right, right_cols={"rid": "rid_r"}).collect()
+    assert len(out) == 1 and out[0]["rid_r"] is None
