@@ -10,11 +10,16 @@ Design (scale rationale):
     full rewrite. Per-bucket state = base snapshot (optional) + delta list;
     readers fold them with one row_number LWW window (identical semantics to
     the old write-time merge, locked by the same replay/idempotency tests).
-  * When a bucket accumulates > max_deltas deltas, apply_batch compacts just
-    that bucket (fold base+deltas -> new base `data/snap-NNNNNN/bucket=K`),
-    so read amplification is bounded by max_deltas — the same
-    delta/compaction contract Iceberg's merge-on-read + rewrite_data_files
-    has.
+  * Compaction is SIZE-TIERED (two levels, LSM-shaped): when a bucket
+    accumulates > max_deltas level-0 deltas, apply_batch folds JUST that
+    chain into one level-1 run (`data/run-NNNNNN/bucket=K`) — the base is
+    untouched; when > max_runs runs accumulate, base+runs fold into a new
+    base. Write amplification per row is therefore ~3x (delta, run, base)
+    instead of a base rewrite every max_deltas epochs, and read
+    amplification stays bounded by (1 + max_runs+1 + max_deltas+1) dirs.
+    The LWW fold is associative (winner = max lsn per key), so folding any
+    sub-collection first is safe — the same contract Iceberg's
+    merge-on-read + rewrite_data_files has.
   * The manifest maps bucket -> {base, deltas}. Commits are an atomic
     manifest swap (os.replace), so a crash mid-write leaves only orphan
     files, never a torn table (reference analog: copy-on-write session
@@ -66,13 +71,16 @@ class ParquetStateSink(TranscriptSink):
         root: str,
         n_buckets: int = 32,
         max_deltas: int = 4,
+        max_runs: int = 4,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
-        # read-amplification bound: a bucket holding > max_deltas delta dirs
-        # is compacted by the NEXT epoch that touches it
+        # read-amplification bounds: a bucket holding > max_deltas level-0
+        # deltas folds them into one level-1 run at the NEXT epoch that
+        # touches it; > max_runs runs fold (with the base) into a new base
         self.max_deltas = max_deltas
+        self.max_runs = max_runs
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "quarantine"), exist_ok=True)
         os.makedirs(os.path.join(root, "lineage"), exist_ok=True)
@@ -100,23 +108,34 @@ class ParquetStateSink(TranscriptSink):
         return str(epoch_id) in self._read_manifest()["epochs"]
 
     @staticmethod
-    def _bucket_dirs(manifest: dict, b: int) -> list[str]:
-        """All dirs (base snapshot first, then deltas in commit order)
-        holding bucket b's rows."""
+    def _bucket_dirs(
+        manifest: dict, b: int, which: str = "all"
+    ) -> list[str]:
+        """Dirs holding bucket b's rows, oldest tier first (base, then
+        level-1 runs, then level-0 deltas in commit order). which:
+        'all' | 'deltas' (level-0 only) | 'base_runs' (base + runs)."""
         ent = manifest["buckets"].get(str(b))
         if ent is None:
             return []
-        dirs = [ent["base"]] if ent.get("base") else []
-        return dirs + list(ent.get("deltas", []))
+        base = [ent["base"]] if ent.get("base") else []
+        runs = list(ent.get("runs", []))
+        deltas = list(ent.get("deltas", []))
+        if which == "deltas":
+            return deltas
+        if which == "base_runs":
+            return base + runs
+        return base + runs + deltas
 
-    def _read_buckets(self, manifest: dict, buckets: list[int]) -> DataFrame | None:
-        """RAW state rows of the given buckets: base + every delta (a key may
-        appear multiple times — callers needing current state fold with
-        _fold). Bucket dirs may live in different snapshot/delta dirs; group
-        by dir so each read keeps partition discovery."""
+    def _read_buckets(
+        self, manifest: dict, buckets: list[int], which: str = "all"
+    ) -> DataFrame | None:
+        """RAW state rows of the given buckets: base + every run/delta (a key
+        may appear multiple times — callers needing current state fold with
+        _fold). Bucket dirs may live in different snapshot/run/delta dirs;
+        group by dir so each read keeps partition discovery."""
         by_dir: dict[str, list[int]] = {}
         for b in buckets:
-            for d in self._bucket_dirs(manifest, b):
+            for d in self._bucket_dirs(manifest, b, which):
                 by_dir.setdefault(d, []).append(b)
         if not by_dir:
             return None
@@ -211,14 +230,16 @@ class ParquetStateSink(TranscriptSink):
                 if b not in written:
                     continue  # defensive: empty partition never materialized
                 ent = manifest["buckets"].setdefault(
-                    str(b), {"base": None, "deltas": []}
+                    str(b), {"base": None, "runs": [], "deltas": []}
                 )
+                ent.setdefault("runs", [])
                 ent["deltas"].append(delta)
 
-            # bounded read amplification: compact ONLY the buckets whose
-            # delta chain exceeded max_deltas — per-epoch compaction work is
-            # proportional to (hot buckets x their bounded chains), never to
-            # table size
+            # size-tiered compaction, level 0 -> 1: fold ONLY the delta
+            # chains that exceeded max_deltas into one level-1 run (the base
+            # is untouched — no table-sized rewrite). Per-epoch compaction
+            # work is proportional to (hot buckets x their bounded chains),
+            # never to table size.
             over = [
                 b for b in touched
                 if len(manifest["buckets"].get(str(b), {}).get("deltas", []))
@@ -226,27 +247,64 @@ class ParquetStateSink(TranscriptSink):
             ]
             if over:
                 counter += 1
-                snap = f"snap-{counter:06d}"
-                snap_dir = os.path.join(self.root, "data", snap)
-                folded = self._fold(self._read_buckets(manifest, over))
+                run = f"run-{counter:06d}"
+                run_dir = os.path.join(self.root, "data", run)
+                folded = self._fold(
+                    self._read_buckets(manifest, over, which="deltas")
+                )
                 (
                     folded.select(*_STATE_COLS, "op", "bucket")
                     .repartition("bucket")
                     .write.mode("overwrite")
                     .partitionBy("bucket")
-                    .parquet(snap_dir)
+                    .parquet(run_dir)
                 )
-                compacted = {
+                ran = {
                     int(d.split("=", 1)[1])
-                    for d in os.listdir(snap_dir)
+                    for d in os.listdir(run_dir)
                     if d.startswith("bucket=")
                 }
                 for b in over:
-                    manifest["buckets"][str(b)] = {
-                        "base": snap if b in compacted else None,
-                        "deltas": [],
+                    ent = manifest["buckets"][str(b)]
+                    ent["deltas"] = []
+                    if b in ran:
+                        ent["runs"].append(run)
+                tprev = _tl(f"L0->L1 folded {len(over)} buckets", tprev)
+
+                # level 1 -> base: only when a bucket's RUN count also
+                # exceeds max_runs does its base get rewritten — amortized,
+                # a row is written ~3x total (delta, run, base) instead of
+                # the base being rewritten every max_deltas epochs
+                over2 = [
+                    b for b in over
+                    if len(manifest["buckets"][str(b)]["runs"]) > self.max_runs
+                ]
+                if over2:
+                    counter += 1
+                    snap = f"snap-{counter:06d}"
+                    snap_dir = os.path.join(self.root, "data", snap)
+                    folded2 = self._fold(
+                        self._read_buckets(manifest, over2, which="base_runs")
+                    )
+                    (
+                        folded2.select(*_STATE_COLS, "op", "bucket")
+                        .repartition("bucket")
+                        .write.mode("overwrite")
+                        .partitionBy("bucket")
+                        .parquet(snap_dir)
+                    )
+                    compacted = {
+                        int(d.split("=", 1)[1])
+                        for d in os.listdir(snap_dir)
+                        if d.startswith("bucket=")
                     }
-                tprev = _tl(f"compacted {len(over)} buckets", tprev)
+                    for b in over2:
+                        manifest["buckets"][str(b)] = {
+                            "base": snap if b in compacted else None,
+                            "runs": [],
+                            "deltas": [],
+                        }
+                    tprev = _tl(f"L1->base folded {len(over2)} buckets", tprev)
 
             snapshot_id = f"{delta}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{self.root}/{epoch_id}')}"
             if quarantine is not None:
@@ -347,7 +405,9 @@ class ParquetStateSink(TranscriptSink):
             for d in os.listdir(snap_dir)
             if d.startswith("bucket=")
         }
-        m["buckets"] = {str(b): {"base": snap, "deltas": []} for b in written}
+        m["buckets"] = {
+            str(b): {"base": snap, "runs": [], "deltas": []} for b in written
+        }
         m["counter"] = counter
         self._write_manifest(m)
 
@@ -361,7 +421,11 @@ class ParquetStateSink(TranscriptSink):
         removed = []
         data_dir = os.path.join(self.root, "data")
         for d in sorted(os.listdir(data_dir)):
-            if not (d.startswith("snap-") or d.startswith("delta-")):
+            if not (
+                d.startswith("snap-")
+                or d.startswith("delta-")
+                or d.startswith("run-")
+            ):
                 continue
             num = int(d.split("-")[1])
             if d not in referenced and num <= m["counter"] - keep_last:

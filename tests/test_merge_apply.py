@@ -200,26 +200,33 @@ def test_epoch_stats_agree_with_lineage(spark, tmp_path):
     assert st.extra["raw_events"] == 3  # observe() counted the full pass
 
 
-def test_delta_chain_bounded_by_compaction(spark, tmp_path):
-    """Merge-on-read invariant: a hot bucket's delta chain never exceeds
-    max_deltas + 1 — the next epoch to touch an over-limit bucket folds
-    base+deltas into a fresh base and resets the chain. State stays correct
-    throughout (LWW winner survives the compaction)."""
-    eng = _engine(spark, tmp_path)
-    sink = eng.sink
-    for e in range(2 * (sink.max_deltas + 1)):
+def test_delta_chain_bounded_by_tiered_compaction(spark, tmp_path):
+    """Size-tiered merge-on-read invariants on a hot bucket: level-0 chains
+    never exceed max_deltas+1 (they fold into a level-1 RUN, base
+    untouched), run counts never exceed max_runs+1 (they fold with the base
+    into a new base), and the LWW winner survives every tier transition.
+    max_deltas=max_runs=1 so four epochs exercise all three tiers."""
+    from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "t"), n_buckets=8, max_deltas=1, max_runs=1
+    )
+    eng = CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4))
+    saw_run = saw_base = False
+    n_epochs = 6
+    for e in range(n_epochs):
         eng.process_batch(
             _events(spark, [(e + 1, "U", "hot", 0, "user", f"v{e}", None, TS)]), e
         )
-        m = sink._read_manifest()
-        for b in m["buckets"]:
-            assert len(m["buckets"][b]["deltas"]) <= sink.max_deltas + 1
-    m = sink._read_manifest()
-    # at least one compaction must have produced a base for the hot bucket
-    (ent,) = m["buckets"].values()
-    assert ent["base"] is not None
-    rows = sink.read_transcripts().collect()
-    assert len(rows) == 1 and rows[0]["text"] == f"v{2 * (sink.max_deltas + 1) - 1}"
+        (ent,) = sink._read_manifest()["buckets"].values()
+        assert len(ent["deltas"]) <= sink.max_deltas + 1
+        assert len(ent["runs"]) <= sink.max_runs + 1
+        saw_run = saw_run or bool(ent["runs"])
+        saw_base = saw_base or ent["base"] is not None
+        # every tier state must still resolve to the current winner
+        rows = sink.read_transcripts().collect()
+        assert len(rows) == 1 and rows[0]["text"] == f"v{e}"
+    assert saw_run and saw_base  # both compaction tiers actually fired
 
 
 def test_replay_quarantine_after_config_fix(spark, tmp_path):

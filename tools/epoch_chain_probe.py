@@ -76,10 +76,12 @@ def main() -> int:
             walls.append(round(wall, 2))
             m = sink._read_manifest()
             chains = [len(ent.get("deltas", [])) for ent in m["buckets"].values()]
+            runs = [len(ent.get("runs", [])) for ent in m["buckets"].values()]
             n_deltas = len({d for ent in m["buckets"].values() for d in ent["deltas"]})
             print(
                 f"epoch {e}: wall={wall:.2f}s rows_in={st.rows_in} "
-                f"max_chain={max(chains) if chains else 0} "
+                f"max_l0_chain={max(chains) if chains else 0} "
+                f"max_l1_runs={max(runs) if runs else 0} "
                 f"delta_dirs={n_deltas}",
                 flush=True,
             )
