@@ -203,11 +203,14 @@ class IcebergMergeSink(TranscriptSink):
             f"{_uuid.uuid5(_uuid.NAMESPACE_URL, f'{self.table}/{epoch_id}')}"
         )
         if quarantine is not None:
+            # overwritePartitions (both side tables are PARTITIONED BY
+            # epoch): a crash-retry replaces this epoch's partition instead
+            # of appending duplicates — effectively-once, not at-least-once
             (
                 quarantine.withColumn("epoch", F.lit(int(epoch_id)))
                 .select("lsn", "raw", "error", "epoch")
                 .writeTo(f"{self.table}_quarantine")
-                .append()
+                .overwritePartitions()
             )
         if lineage:
             names = [
@@ -227,7 +230,7 @@ class IcebergMergeSink(TranscriptSink):
             (
                 self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
                 .writeTo(f"{self.table}_lineage")
-                .append()
+                .overwritePartitions()
             )
         # explicit skew spreading: shuffle source by (bucket, per-turn salt)
         src = batch.withColumn(

@@ -308,9 +308,16 @@ class ParquetStateSink(TranscriptSink):
 
             snapshot_id = f"{delta}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{self.root}/{epoch_id}')}"
             if quarantine is not None:
+                # partitioned by epoch + dynamic partition OVERWRITE (session
+                # default): a crash-retry of this epoch REPLACES its own
+                # partition instead of appending duplicates — the quarantine
+                # route is effectively-once, like the table itself. Lineage
+                # has the same property via its fixed epoch-NNNN filename.
                 quarantine.withColumn("epoch", F.lit(int(epoch_id))).select(
                     [f.name for f in QUARANTINE_SCHEMA.fields]
-                ).write.mode("append").parquet(os.path.join(self.root, "quarantine"))
+                ).write.mode("overwrite").partitionBy("epoch").parquet(
+                    os.path.join(self.root, "quarantine")
+                )
             tprev = _tl("quarantine write", tprev)
             if lineage:
                 self._write_lineage(lineage, snapshot_id, epoch_id)

@@ -266,3 +266,25 @@ def test_replay_quarantine_after_config_fix(spark, tmp_path):
     assert sink.read_quarantine().filter("epoch = 100").count() == 1
     # idempotent: replaying the same epoch id is a no-op
     assert relaxed.replay_quarantine(epoch_id=100).skipped
+
+
+def test_quarantine_idempotent_on_crash_retry(spark, tmp_path):
+    """Crash between the quarantine write and the manifest commit must not
+    duplicate quarantine rows on retry: the write is partitioned by epoch
+    with dynamic partition OVERWRITE, so the retry replaces its own
+    partition (effectively-once, matching the table's semantics)."""
+    eng = _engine(spark, tmp_path)
+    rows = [
+        (1, "I", "a", 0, "user", "ok", None, TS),
+        (2, "I", None, 0, "user", "bad", None, TS),
+    ]
+    eng.process_batch(_events(spark, rows), 0)
+    assert eng.sink.read_quarantine().count() == 1
+    # simulate the crash: quarantine was written, manifest commit was not
+    m = eng.sink._read_manifest()
+    del m["epochs"]["0"]
+    eng.sink._write_manifest(m)
+    eng.process_batch(_events(spark, rows), 0)  # the retry
+    q = eng.sink.read_quarantine().collect()
+    assert len(q) == 1  # replaced, not appended
+    assert q[0]["error"] == "NULL_CONV_ID" and q[0]["epoch"] == 0
