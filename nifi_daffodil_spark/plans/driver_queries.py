@@ -1072,7 +1072,6 @@ def q_ann_ivf_batch(spark, sf_dir):
     DuckDB oracle can pin it (probe-limited recall is graded by pytest
     instead). The index build is cached per sf_dir; a rerun only LOADS."""
     import hashlib
-    import os as _os
 
     from nifi_daffodil_spark.operators.similarity import IvfIndex, as_double_vecs
 
@@ -1081,14 +1080,13 @@ def q_ann_ivf_batch(spark, sf_dir):
     # regenerated fixture data invalidates the cached index instead of
     # silently serving stale vectors (code-review finding); the fingerprint
     # also de-races concurrent builders onto distinct paths per data version
-    src = f"{sf_dir}/embeddings.parquet"
-    st = _os.stat(src)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.md5(
         f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
     ).hexdigest()[:12]
-    path = _os.path.join("/tmp", f"ndspark_ivf_{key}")
-    marker = _os.path.join(path, "_complete")
-    if not _os.path.exists(marker):
+    path = os.path.join("/tmp", f"ndspark_ivf_{key}")
+    marker = os.path.join(path, "_complete")
+    if not os.path.exists(marker):
         IvfIndex.build(e, path, n_cells=8, seed=7)
         open(marker, "w").write("ok")
     idx = IvfIndex.load(spark, path)

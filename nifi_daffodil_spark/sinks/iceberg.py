@@ -22,9 +22,12 @@ Scale design (SURVEY.md §4 custom items 1-2, 5):
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nifi_daffodil_spark.schemas import LINEAGE_SCHEMA
 from nifi_daffodil_spark.sinks.base import TranscriptSink
 
 EPOCH_PROP = "engine.epoch"
@@ -196,11 +199,9 @@ class IcebergMergeSink(TranscriptSink):
         # label is therefore epoch-derived (deterministic), not the Iceberg
         # numeric snapshot id — the mapping to the physical snapshot lives
         # in the snapshot summary's engine.epoch property.
-        import uuid as _uuid
-
         snapshot_id = (
             f"epoch-{int(epoch_id)}-"
-            f"{_uuid.uuid5(_uuid.NAMESPACE_URL, f'{self.table}/{epoch_id}')}"
+            f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{self.table}/{epoch_id}')}"
         )
         if quarantine is not None:
             # overwritePartitions (both side tables are PARTITIONED BY
@@ -213,11 +214,7 @@ class IcebergMergeSink(TranscriptSink):
                 .overwritePartitions()
             )
         if lineage:
-            names = [
-                "epoch", "bucket", "lsn_min", "lsn_max", "rows_in",
-                "rows_applied", "rows_quarantined", "snapshot_id", "wall_ms",
-            ]
-            snap_idx = names.index("snapshot_id")
+            snap_idx = [f.name for f in LINEAGE_SCHEMA.fields].index("snapshot_id")
             rows = [
                 tuple(
                     snapshot_id if i == snap_idx else v
@@ -225,8 +222,6 @@ class IcebergMergeSink(TranscriptSink):
                 )
                 for row in lineage
             ]
-            from nifi_daffodil_spark.schemas import LINEAGE_SCHEMA
-
             (
                 self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
                 .writeTo(f"{self.table}_lineage")
@@ -242,12 +237,10 @@ class IcebergMergeSink(TranscriptSink):
         )
         self.spark.sql(merge_sql(self.table))
         self._applied.add(str(epoch_id))
-        return {
-            "skipped": False,
-            "epoch": epoch_id,
-            "snapshot_id": snapshot_id,
-            "iceberg_snapshot": self._last_snapshot_id(),
-        }
+        # NOTE: no per-epoch .snapshots metadata query here — the physical
+        # Iceberg snapshot for this epoch is discoverable via the summary's
+        # engine.epoch property (or _last_snapshot_id() for ad-hoc checks)
+        return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id}
 
     def read_transcripts(self) -> DataFrame:
         return self.spark.table(self.table).select(

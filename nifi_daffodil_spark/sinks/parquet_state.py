@@ -172,6 +172,23 @@ class ParquetStateSink(TranscriptSink):
             len(self._bucket_dirs(manifest, b)) > 1 for b in buckets
         )
 
+    def _write_partitioned(self, df: DataFrame, dir_path: str) -> set[int]:
+        """Write state rows bucket-partitioned to dir_path; returns the
+        bucket ids that actually materialized a partition dir (an empty
+        partition never creates one)."""
+        (
+            df.select(*_STATE_COLS, "op", "bucket")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dir_path)
+        )
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(dir_path)
+            if d.startswith("bucket=")
+        }
+
     def apply_batch(
         self,
         batch: DataFrame,
@@ -212,20 +229,10 @@ class ParquetStateSink(TranscriptSink):
             # time in _fold (or at compaction below).
             counter = manifest["counter"] + 1
             delta = f"delta-{counter:06d}"
-            delta_dir = os.path.join(self.root, "data", delta)
-            (
-                batch.select(*_STATE_COLS, "op", "bucket")
-                .repartition("bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(delta_dir)
+            written = self._write_partitioned(
+                batch, os.path.join(self.root, "data", delta)
             )
             tprev = _tl("delta write", tprev)
-            written = {
-                int(d.split("=", 1)[1])
-                for d in os.listdir(delta_dir)
-                if d.startswith("bucket=")
-            }
             for b in touched:
                 if b not in written:
                     continue  # defensive: empty partition never materialized
@@ -248,22 +255,10 @@ class ParquetStateSink(TranscriptSink):
             if over:
                 counter += 1
                 run = f"run-{counter:06d}"
-                run_dir = os.path.join(self.root, "data", run)
-                folded = self._fold(
-                    self._read_buckets(manifest, over, which="deltas")
+                ran = self._write_partitioned(
+                    self._fold(self._read_buckets(manifest, over, which="deltas")),
+                    os.path.join(self.root, "data", run),
                 )
-                (
-                    folded.select(*_STATE_COLS, "op", "bucket")
-                    .repartition("bucket")
-                    .write.mode("overwrite")
-                    .partitionBy("bucket")
-                    .parquet(run_dir)
-                )
-                ran = {
-                    int(d.split("=", 1)[1])
-                    for d in os.listdir(run_dir)
-                    if d.startswith("bucket=")
-                }
                 for b in over:
                     ent = manifest["buckets"][str(b)]
                     ent["deltas"] = []
@@ -282,22 +277,12 @@ class ParquetStateSink(TranscriptSink):
                 if over2:
                     counter += 1
                     snap = f"snap-{counter:06d}"
-                    snap_dir = os.path.join(self.root, "data", snap)
-                    folded2 = self._fold(
-                        self._read_buckets(manifest, over2, which="base_runs")
+                    compacted = self._write_partitioned(
+                        self._fold(
+                            self._read_buckets(manifest, over2, which="base_runs")
+                        ),
+                        os.path.join(self.root, "data", snap),
                     )
-                    (
-                        folded2.select(*_STATE_COLS, "op", "bucket")
-                        .repartition("bucket")
-                        .write.mode("overwrite")
-                        .partitionBy("bucket")
-                        .parquet(snap_dir)
-                    )
-                    compacted = {
-                        int(d.split("=", 1)[1])
-                        for d in os.listdir(snap_dir)
-                        if d.startswith("bucket=")
-                    }
                     for b in over2:
                         manifest["buckets"][str(b)] = {
                             "base": snap if b in compacted else None,
@@ -403,15 +388,9 @@ class ParquetStateSink(TranscriptSink):
         kept = folded.filter(~((F.col("op") == "D") & (F.col("lsn") < lsn_horizon)))
         counter = m["counter"] + 1
         snap = f"snap-{counter:06d}"
-        snap_dir = os.path.join(self.root, "data", snap)
-        kept.select(*_STATE_COLS, "op", "bucket").repartition("bucket").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(snap_dir)
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(snap_dir)
-            if d.startswith("bucket=")
-        }
+        written = self._write_partitioned(
+            kept, os.path.join(self.root, "data", snap)
+        )
         m["buckets"] = {
             str(b): {"base": snap, "runs": [], "deltas": []} for b in written
         }
