@@ -218,6 +218,13 @@ class CdcEngine:
         events = q.select(
             F.from_json(F.col("raw"), EVENT_SCHEMA).alias("e")
         ).select("e.*")
+        # Sever lineage from the quarantine directory BEFORE the pipeline
+        # runs: still-failing rows overwrite partitions under the same path
+        # this read came from, and relying on process_batch's persist to have
+        # materialized first is fragile (cache eviction / future refactor
+        # would re-read mid-overwrite or trip Spark's overwrite-while-reading
+        # check). An eager localCheckpoint makes the read happen NOW.
+        events = events.localCheckpoint(eager=True)
         return self.process_batch(events, epoch_id)
 
     # ---- batch replay -----------------------------------------------------

@@ -420,10 +420,16 @@ class IvfIndex:
                     nloc = min(k, sims.shape[0])
                     for j, pos in enumerate(qpos):
                         col = sims[:, j]
-                        idx = np.argpartition(-col, nloc - 1)[:nloc]
+                        # keep the k best PLUS any boundary ties: argpartition
+                        # alone breaks exact-cosine ties (duplicate vectors)
+                        # arbitrarily, which could drop the candidate the
+                        # final deterministic (cos DESC, vec_id) window — and
+                        # the oracle — would keep
+                        kth = np.partition(col, len(col) - nloc)[len(col) - nloc]
+                        idx = np.flatnonzero(col >= kth)
                         yield pd.DataFrame(
                             {
-                                "qid": np.full(nloc, qids[pos]),
+                                "qid": np.full(len(idx), qids[pos]),
                                 "vec_id": grp["vec_id"].to_numpy()[idx],
                                 "cos": col[idx],
                             }

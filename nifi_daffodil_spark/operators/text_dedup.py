@@ -406,6 +406,7 @@ def connected_components(
             "label", F.col("node")
         )
     )
+    converged = False
     for _ in range(max_iter):
         # neighbor-min propagation: each node offers its label to neighbors
         prop = edges.join(labels, edges["a"] == labels["node"]).select(
@@ -435,7 +436,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are WRONG components (wrong keeper/is_dup
+        # decisions) — fail loudly rather than silently returning them.
+        # With pointer jumping, convergence needs ~log2(diameter) rounds, so
+        # the default max_iter=25 covers any graph up to 2^25 diameter.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed ~ log2 of the longest "
+            "chain length)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

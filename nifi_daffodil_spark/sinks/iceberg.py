@@ -133,6 +133,15 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class IcebergMergeSink(TranscriptSink):
+    """SINGLE-WRITER sink. Exactly-once relies on the in-memory applied-epoch
+    set (one startup snapshot scan, then maintained per commit); a second
+    concurrent writer's commits are invisible to ``epoch_applied``, so two
+    writers on the same table could both apply the same epoch. Run exactly
+    one CDC driver per table — the same contract as a Structured Streaming
+    checkpoint dir. (The MERGE's ``s.lsn > t.lsn`` guard makes a violation
+    produce duplicates-of-work, not wrong final rows, but the lineage /
+    quarantine side tables would double up.)"""
+
     def __init__(
         self,
         spark: SparkSession,

@@ -298,9 +298,15 @@ class ParquetStateSink(TranscriptSink):
                 # partition instead of appending duplicates — the quarantine
                 # route is effectively-once, like the table itself. Lineage
                 # has the same property via its fixed epoch-NNNN filename.
+                # partitionOverwriteMode pinned AT THE WRITE SITE: with the
+                # static default (a vanilla SparkSession that didn't come from
+                # build_session) mode('overwrite') would silently delete ALL
+                # prior epochs' partitions, not just this one's
                 quarantine.withColumn("epoch", F.lit(int(epoch_id))).select(
                     [f.name for f in QUARANTINE_SCHEMA.fields]
-                ).write.mode("overwrite").partitionBy("epoch").parquet(
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("epoch").parquet(
                     os.path.join(self.root, "quarantine")
                 )
             tprev = _tl("quarantine write", tprev)

@@ -308,6 +308,36 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["component"] for r in cc} == {0}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    # max_iter=1 on a 6-node chain cannot converge (needs ~log2(6) rounds +
+    # one zero-change confirmation round): the guard must fire instead of
+    # silently returning partial labels (round-3 advice item)
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "d1 long, d2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        text_dedup.connected_components(pairs, max_iter=1)
+
+
+def test_ivf_topk_batch_boundary_ties_deterministic(spark, tmp_path):
+    """Exact-cosine ties at the k boundary (duplicate vectors): the per-batch
+    prune must keep ALL boundary ties so the final deterministic
+    (cos DESC, vec_id ASC) window always sees the winner it would pick over
+    the full candidate set (round-3 advice item)."""
+    from nifi_daffodil_spark.operators.similarity import IvfIndex
+
+    # 10 identical vectors in one cell: every cosine ties at 1.0
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    idx = IvfIndex.build(df, str(tmp_path / "ivf_ties"), n_cells=1, seed=7)
+    got = [r["vec_id"]
+           for r in idx.topk_batch([(0, [1.0, 0.0, 0.0, 0.0])], k=3, nprobe=1)
+           .orderBy("vec_id").collect()]
+    assert got == [0, 1, 2]
+
+
 def test_ivf_index_build_once_query_many(spark, tmp_path):
     """Persisted IVF index (round-2 verdict item #4): build writes centroids
     + cell-partitioned vectors to parquet; load + query must equal the
