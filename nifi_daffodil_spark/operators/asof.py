@@ -1,8 +1,11 @@
-"""As-of (backward) join — a custom operator Spark has no built-in for.
+"""As-of join (backward/forward, optional tolerance) — a custom operator
+Spark has no built-in for.
 
-For each left row, attach the LATEST right row of the same key with
-right.ts <= left.ts (the standard trades/quotes, event/state-prevailing
-shape). No reference analog (nifi-daffodil is record-at-a-time); this is a
+For each left row, attach the NEAREST right row of the same key at or
+before (backward) / at or after (forward) its timestamp, optionally
+nulling matches farther than a max time gap (the standard trades/quotes,
+event/state-prevailing shape; the direction+tolerance surface mirrors
+DuckDB's ASOF comparison-op family). No reference analog (nifi-daffodil is record-at-a-time); this is a
 training-data/analytics addition in the task directive's "operator Spark
 lacks" slot, oracle-checked against DuckDB's native ASOF JOIN.
 
@@ -39,20 +42,39 @@ def asof_join(
     on: str = "user_id",
     ts: str = "ts",
     right_cols: dict[str, str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward or forward, with optional max-gap tolerance.
 
     right_cols: {right column -> output alias} for the payload carried from
     the matched right row (defaults to every right column except the key
     and timestamp). Unmatched left rows keep the payload columns null
     (LEFT-join semantics).
+
+    direction: 'backward' (default) matches the LATEST right row with
+    r.ts <= l.ts (DuckDB `l.ts >= r.ts`); 'forward' matches the EARLIEST
+    right row with r.ts >= l.ts (DuckDB `l.ts <= r.ts`). Forward is the
+    same one-shuffle window plan with the time axis reversed (ORDER BY ts
+    DESC) — still no range join, still no interval explosion.
+
+    tolerance: max allowed |l.ts - r.ts| in SECONDS (fractional ok,
+    microsecond resolution); a match farther away is nulled out. Because
+    the as-of match is the NEAREST qualifying right row, nulling a
+    too-distant match can never hide a closer one — which is also why the
+    oracle can apply tolerance as a CASE over DuckDB's native ASOF result.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = {
             c: f"{c}_r" for c in right.columns if c not in (on, ts)
         }
     payload = F.struct(
-        *[F.col(c).alias(alias) for c, alias in right_cols.items()]
+        *[F.col(c).alias(alias) for c, alias in right_cols.items()],
+        # the matched right row's own ts rides along for the tolerance
+        # check (hidden — stripped from the output projection)
+        F.col(ts).alias("_rts"),
     )
     # NULL-ts right rows must never match: under asc ordering they would
     # sort FIRST and their payload would propagate to every left row of the
@@ -77,12 +99,30 @@ def asof_join(
         "_rpay",
     )
     u = l.unionByName(r_full)
+    # backward walks time ascending (preceding rows have r.ts <= l.ts);
+    # forward walks it descending (preceding rows have r.ts >= l.ts). In
+    # both, _side 0 < 1 puts the equal-ts right row BEFORE the left row —
+    # the inclusive bound — and last(ignorenulls) picks the frame row
+    # closest to current, i.e. the NEAREST qualifying right row.
+    ts_ord = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(ts_ord, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # NTZ-safe exact micros compare (ANSI forbids a direct ntz->long
+        # cast; ntz->timestamp->micros is exact and the UTC offsets cancel
+        # in the difference)
+        tol_us = int(round(float(tolerance) * 1_000_000))
+        gap = F.abs(
+            F.unix_micros(F.col(ts).cast("timestamp"))
+            - F.unix_micros(F.col("_m._rts").cast("timestamp"))
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(tol_us), F.col("_m"))
+        )
     out = matched.filter(F.col("_side") == 1).select(
         *l_cols,
         *[F.col(f"_m.{alias}").alias(alias) for alias in right_cols.values()],

@@ -1435,23 +1435,9 @@ def q_asof_join(spark, sf_dir):
     <=, latest match, left rows without a match kept) are pinned against an
     independent implementation. Right side pre-deduped per (user, ts) by
     max event_id — equal-timestamp matches are ambiguous otherwise."""
-    from pyspark.sql import Window as W
-
     from nifi_daffodil_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    wdedup = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    views = (
-        views.withColumn("_rn", F.row_number().over(wdedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    purchases, views = _asof_sides(spark, sf_dir)
     return asof_join(
         purchases,
         views,
@@ -1471,6 +1457,92 @@ p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purcha
 SELECT p.event_id, p.user_id, p.ts, p.value,
        vr.event_id AS view_id, vr.ts AS view_ts, vr.value AS view_value
 FROM p ASOF LEFT JOIN vr ON p.user_id = vr.user_id AND p.ts >= vr.ts
+"""
+
+
+def _asof_sides(spark, sf_dir):
+    """Shared left/right inputs for the as-of family: purchases vs views
+    pre-deduped per (user, ts) by max event_id."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wdedup = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        views.withColumn("_rn", F.row_number().over(wdedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return purchases, views
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a max-gap tolerance (round-3 verdict item #5):
+    a view more than 6h before the purchase is no longer 'prevailing' and
+    the match is nulled. Because the as-of match is the NEAREST qualifying
+    row, tolerance composes as a post-filter — the oracle applies the same
+    CASE over DuckDB's native ASOF result."""
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    purchases, views = _asof_sides(spark, sf_dir)
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        right_cols={"event_id": "view_id", "ts": "view_ts", "value": "view_value"},
+        tolerance=6 * 3600,
+    )
+
+
+O_ASOF_TOLERANCE = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'),
+vr AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       CASE WHEN p.ts - vr.ts <= INTERVAL 21600 SECOND THEN vr.event_id END AS view_id,
+       CASE WHEN p.ts - vr.ts <= INTERVAL 21600 SECOND THEN vr.ts END AS view_ts,
+       CASE WHEN p.ts - vr.ts <= INTERVAL 21600 SECOND THEN vr.value END AS view_value
+FROM p ASOF LEFT JOIN vr ON p.user_id = vr.user_id AND p.ts >= vr.ts
+"""
+
+
+def q_asof_forward(spark, sf_dir):
+    """FORWARD as-of (round-3 verdict item #5): each purchase gets the
+    user's EARLIEST view at-or-after it (next-touch attribution). Same
+    one-shuffle tagged-union window plan with the time axis reversed;
+    oracle = DuckDB native ASOF with the comparison flipped to `<=`."""
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    purchases, views = _asof_sides(spark, sf_dir)
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        right_cols={"event_id": "view_id", "ts": "view_ts", "value": "view_value"},
+        direction="forward",
+    )
+
+
+O_ASOF_FORWARD = """
+WITH v AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'),
+vr AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       vr.event_id AS view_id, vr.ts AS view_ts, vr.value AS view_value
+FROM p ASOF LEFT JOIN vr ON p.user_id = vr.user_id AND p.ts <= vr.ts
 """
 
 
@@ -1590,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
         "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_forward": q_asof_forward,
         "sessionize": q_sessionize,
         "agg_quantiles": q_agg_quantiles,
         "tpch_q3_topk": q_tpch_q3_topk,
@@ -1640,6 +1714,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": O_MULTIMODAL,
         "multimodal_decode": _multimodal_decode_oracle(),
         "asof_join": O_ASOF_JOIN,
+        "asof_tolerance": O_ASOF_TOLERANCE,
+        "asof_forward": O_ASOF_FORWARD,
         "sessionize": O_SESSIONIZE,
         "agg_quantiles": O_AGG_QUANTILES,
         "tpch_q3_topk": O_TPCH_Q3,

@@ -457,6 +457,85 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: EARLIEST right at-or-after left's ts (inclusive) —
+    the reversed-time-axis twin of the backward test above."""
+    import datetime as dt
+
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(3)), (2, 10, t(4)), (3, 10, t(9)), (4, 20, t(0))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(2)), (101, 10, t(4)), (102, 30, t(1))],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            left, right, right_cols={"rid": "rid_r"}, direction="forward"
+        ).collect()
+    }
+    assert out == {
+        1: 101,   # earliest of the followers (t2 is in the past)
+        2: 101,   # equal ts matches (inclusive)
+        3: None,  # nothing at-or-after
+        4: None,  # key 20 has no right rows at all
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, direction="sideways")
+
+
+def test_asof_join_tolerance_nulls_distant_match(spark):
+    """A match farther than `tolerance` seconds is nulled (all payload
+    columns together); a within-tolerance match is untouched. Sub-second
+    tolerance is honored at microsecond resolution."""
+    import datetime as dt
+
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    t = lambda m, s=0, us=0: dt.datetime(2024, 1, 1, 0, m, s, us)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (2, 10, t(2)), (3, 20, t(0, 1, 500_001))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(1)), (200, 20, t(0, 0))],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = {
+        r["lid"]: (r["rid_r"], r["vts"])
+        for r in asof_join(
+            left,
+            right,
+            right_cols={"rid": "rid_r", "ts": "vts"},
+            tolerance=120,
+        ).collect()
+    }
+    assert out[1] == (None, None)        # gap 9 min > 120 s: whole payload null
+    assert out[2] == (100, t(1))         # gap 60 s within tolerance
+    # microsecond precision: gap = 1.500001 s > 1.5 s tolerance
+    out2 = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            left, right, right_cols={"rid": "rid_r"}, tolerance=1.5
+        ).collect()
+    }
+    assert out2[3] is None
+    out3 = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            left, right, right_cols={"rid": "rid_r"}, tolerance=1.500001
+        ).collect()
+    }
+    assert out3[3] == 200
+
+
 def test_asof_join_null_right_ts_never_matches(spark):
     # a NULL-ts right row sorts FIRST under asc ordering and would
     # propagate to every left row; SQL ASOF semantics match nothing
