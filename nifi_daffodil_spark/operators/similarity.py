@@ -358,6 +358,82 @@ class IvfIndex:
         cents = np.array([r["c"] for r in rows], dtype=np.float64)
         return cls(spark, path, cents)
 
+    # ---- incremental maintenance (round-3 verdict item #4) ----------------
+
+    def add(self, df: DataFrame) -> None:
+        """Append new vectors to the index WITHOUT retraining: assign with
+        the EXISTING centroids and append files into the assigned cell
+        partitions only (a dynamic-partition append touches no other cell's
+        files). This is the serving-index fast path — O(new rows), one
+        map-side assign + one shuffle on cell; probe results for the new
+        vectors are identical to a full rebuild at the same centroids.
+
+        The cost of never retraining is drift: newly added vectors may
+        cluster poorly under stale centroids, skewing cell sizes — monitor
+        with cell_stats()/needs_rebuild() and retrain via rebuild()."""
+        (
+            ivf_assign(df, self.centroids)
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/vectors")
+        )
+
+    def cell_stats(self) -> dict:
+        """Cell-size distribution: {'counts': {cell: n}, 'imbalance':
+        max/mean}. Imbalance ~1 = balanced; a hot cell makes every probe
+        of it scan disproportionately many candidates (the probe cost is
+        the cell size, not n/n_cells)."""
+        rows = (
+            self.spark.read.parquet(f"{self.path}/vectors")
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        counts = {int(r["cell"]): int(r["count"]) for r in rows}
+        n_cells = len(self.centroids)
+        mean = sum(counts.values()) / max(n_cells, 1)
+        imbalance = (max(counts.values()) / mean) if counts and mean else 0.0
+        return {"counts": counts, "n_cells": n_cells,
+                "imbalance": round(imbalance, 3)}
+
+    def needs_rebuild(self, max_imbalance: float = 4.0) -> bool:
+        """Rebuild trigger: True when the hottest cell exceeds
+        max_imbalance x the mean cell size (drifted quantizer)."""
+        return self.cell_stats()["imbalance"] > max_imbalance
+
+    def rebuild(
+        self,
+        dest_path: str | None = None,
+        n_cells: int | None = None,
+        n_iter: int = 5,
+        sample: int = 2048,
+        seed: int = 7,
+    ) -> "IvfIndex":
+        """Retrain the quantizer over the CURRENT vector set and rewrite.
+
+        dest_path given (the at-scale pattern): build the new index beside
+        the old one and atomically swap the serving pointer afterwards —
+        the old index stays queryable during the rebuild and a failed
+        rebuild leaves it untouched. dest_path=None rebuilds in place via
+        an eager localCheckpoint of the vector set (convenient for small
+        indexes; the checkpoint is required because the overwrite targets
+        the same directory the rebuild reads from)."""
+        vecs = self.spark.read.parquet(f"{self.path}/vectors").select(
+            "vec_id", "v"
+        )
+        if dest_path is None:
+            dest_path = self.path
+            vecs = vecs.localCheckpoint(eager=True)
+        return IvfIndex.build(
+            vecs,
+            dest_path,
+            n_cells=n_cells if n_cells is not None else len(self.centroids),
+            n_iter=n_iter,
+            sample=sample,
+            seed=seed,
+        )
+
     # ---- serve ------------------------------------------------------------
 
     def _probe_cells(self, q: "np.ndarray", nprobe: int) -> list[int]:
