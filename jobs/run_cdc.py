@@ -80,6 +80,26 @@ def main(argv: list[str] | None = None) -> int:
     from nifi_daffodil_spark.engine import CdcEngine
     from nifi_daffodil_spark.session import build_session
 
+    if args.mode == "maintenance" and args.sink == "iceberg":
+        # Iceberg maintenance is catalog-side procedures, not a sink method,
+        # and needs no Spark session to PLAN: print the CALL statements for
+        # an operator to run where the Iceberg runtime is loaded (the
+        # sandbox has no jars). --vacuum-keep -> expire_snapshots
+        # retain_last; --tombstone-horizon -> position-delete rewrite.
+        if args.tombstone_horizon is None and args.vacuum_keep is None:
+            ap.error("--mode maintenance needs --tombstone-horizon and/or "
+                     "--vacuum-keep")
+        from nifi_daffodil_spark.sinks.iceberg import maintenance_sql
+
+        for stmt in maintenance_sql(
+            args.table,
+            retain_last=args.vacuum_keep,
+            compact_deletes=args.tombstone_horizon is not None,
+            remove_orphans=True,
+        ):
+            print(stmt)
+        return 0
+
     if args.gen_events:
         from nifi_daffodil_spark.fixtures.walgen import WalSpec, generate_wal
 
@@ -140,14 +160,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.tombstone_horizon is None and args.vacuum_keep is None:
             ap.error("--mode maintenance needs --tombstone-horizon and/or "
                      "--vacuum-keep")
-        if args.sink == "iceberg":
-            # Iceberg maintenance is catalog-side (expire_snapshots /
-            # rewrite_data_files / remove_orphan_files procedures), not a
-            # sink method — fail clearly instead of AttributeError
-            ap.error("--mode maintenance applies to the parquet sink; for "
-                     "Iceberg run the table-maintenance procedures "
-                     "(CALL catalog.system.rewrite_data_files / "
-                     "expire_snapshots) against the catalog")
         if args.tombstone_horizon is not None:
             sink.compact_tombstones(args.tombstone_horizon)
             print(f"compacted tombstones below lsn {args.tombstone_horizon}")

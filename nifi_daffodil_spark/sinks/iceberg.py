@@ -121,6 +121,58 @@ def evolve_schema_ddl(table_cols: dict[str, str], batch_schema) -> list[str]:
     return stmts
 
 
+def maintenance_sql(
+    table: str,
+    retain_last: int | None = None,
+    compact_deletes: bool = False,
+    target_file_size_mb: int = 512,
+    remove_orphans: bool = False,
+) -> list[str]:
+    """Table-maintenance CALL statements for the transcript table and its
+    side tables — the Iceberg analog of ParquetStateSink.compact_tombstones
+    / .vacuum. Pure builder, golden-tested like merge_sql; the CLI prints
+    these for an operator to run against a catalog with the Iceberg
+    runtime loaded (the sandbox has no jars to execute them).
+
+    retain_last: expire all but the last N snapshots on each table (maps
+    from the CLI's --vacuum-keep; named-arg form so no timestamp literal
+    is needed). compact_deletes: rewrite position-delete files — the
+    merge-on-read tombstone reclaim (maps from --tombstone-horizon; the
+    LSN horizon itself is a parquet-sink concept, Iceberg's procedure
+    compacts all applied deletes). remove_orphans: clean files no
+    snapshot references (crash leftovers).
+    """
+    if "." not in table:
+        raise ValueError(
+            f"iceberg maintenance needs a catalog-qualified table "
+            f"(catalog.db.table), got {table!r}"
+        )
+    catalog, rest = table.split(".", 1)
+    side = [rest, f"{rest}_quarantine", f"{rest}_lineage"]
+    stmts = [
+        f"CALL {catalog}.system.rewrite_data_files(table => '{rest}', "
+        f"options => map('target-file-size-bytes', "
+        f"'{target_file_size_mb * 1024 * 1024}'))"
+    ]
+    if compact_deletes:
+        stmts.append(
+            f"CALL {catalog}.system.rewrite_position_delete_files"
+            f"(table => '{rest}')"
+        )
+    if retain_last is not None:
+        stmts += [
+            f"CALL {catalog}.system.expire_snapshots(table => '{t}', "
+            f"retain_last => {int(retain_last)})"
+            for t in side
+        ]
+    if remove_orphans:
+        stmts += [
+            f"CALL {catalog}.system.remove_orphan_files(table => '{t}')"
+            for t in side
+        ]
+    return stmts
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""

@@ -48,7 +48,13 @@ _OUT_SCHEMA = StructType(
 )
 
 
-def _track(key, pdf_iter, state: GroupState, arm_timeout: bool = True):
+def _track(
+    key,
+    pdf_iter,
+    state: GroupState,
+    arm_timeout: bool = True,
+    idle_timeout_ms: int = 3_600_000,
+):
     (conv_id,) = key
     if state.hasTimedOut:
         # ProcessingTimeTimeout fired with no new data for this key: evict so
@@ -78,7 +84,7 @@ def _track(key, pdf_iter, state: GroupState, arm_timeout: bool = True):
                     mask_hi |= 1 << (int(b) - 63)
     state.update((int(max_turn), int(n_events), int(mask_lo), int(mask_hi)))
     if arm_timeout:
-        state.setTimeoutDuration(3_600_000)  # evict idle convs after 1 h
+        state.setTimeoutDuration(idle_timeout_ms)  # evict idle convs
     if 0 <= max_turn < 63:
         contiguous = 1 if mask_lo == (1 << (max_turn + 1)) - 1 else 0
     elif 63 <= max_turn < 126:
@@ -100,15 +106,20 @@ def _track(key, pdf_iter, state: GroupState, arm_timeout: bool = True):
     )
 
 
-def track_conv_progress(events: DataFrame, evict_idle: bool = True) -> DataFrame:
+def track_conv_progress(
+    events: DataFrame,
+    evict_idle: bool = True,
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
     """Streaming per-conversation progress: (conv_id, max_turn, n_events,
     contiguous) updated every micro-batch, state kept across batches.
 
     Input: a streaming DataFrame with (conv_id string, turn_idx int/long).
     Output mode must be `update`.
 
-    evict_idle: arm the 1-hour ProcessingTimeTimeout that evicts idle
-    conversations — the bounded-state mode for a continuous tail. MUST be
+    evict_idle: arm the ProcessingTimeTimeout (default 1 h via
+    idle_timeout_ms) that evicts idle conversations — the bounded-state
+    mode for a continuous tail. MUST be
     False under Trigger.AvailableNow: a pending processing-time timeout
     makes AvailableNow keep scheduling empty micro-batches until the
     timeout fires (observed: 100+ empty commits for an 8-file replay), so
@@ -121,7 +132,8 @@ def track_conv_progress(events: DataFrame, evict_idle: bool = True) -> DataFrame
     )
 
     def fn(key, pdf_iter, state):
-        return _track(key, pdf_iter, state, arm_timeout=evict_idle)
+        return _track(key, pdf_iter, state, arm_timeout=evict_idle,
+                      idle_timeout_ms=idle_timeout_ms)
 
     return (
         events.select("conv_id", "turn_idx")

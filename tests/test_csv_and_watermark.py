@@ -224,6 +224,72 @@ def test_stateful_timeout_evicts_state():
     assert not st3.armed
 
 
+def test_stateful_timeout_real_store_eviction(spark, tmp_path):
+    """Eviction through the REAL state store (round-3 verdict item #8): a
+    continuous processing-time-trigger run with a short idle timeout. Conv
+    A's state must be evicted after it sits idle past the timeout, proven
+    by its counters RESTARTING (n_events back to 1) when A reappears —
+    without eviction the carried state would read n_events=3."""
+    import time
+
+    from nifi_daffodil_spark.streaming.stateful import track_conv_progress
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "conv_id string, turn_idx int").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    def _rows():
+        return [
+            (r["conv_id"], r["max_turn"], r["n_events"])
+            for r in spark.table("evict_probe").collect()
+        ]
+
+    def _wait(cond, timeout=120):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if cond(_rows()):
+                return True
+            time.sleep(0.5)
+        return False
+
+    _write("a.parquet", [("A", 0), ("A", 1)])
+    q = (
+        track_conv_progress(
+            spark.readStream.schema("conv_id string, turn_idx int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet"),
+            evict_idle=True,
+            idle_timeout_ms=2000,
+        )
+        .writeStream.format("memory")
+        .queryName("evict_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(lambda rs: ("A", 1, 2) in rs), "initial A batch missing"
+        # A goes idle past the 2 s timeout; conv B keeps batches flowing
+        # (processing-time timeouts are checked every trigger regardless)
+        time.sleep(3.0)
+        _write("b.parquet", [("B", 0)])
+        assert _wait(lambda rs: ("B", 0, 1) in rs), "B batch missing"
+        time.sleep(3.0)  # ensure A's timeout batch has fired
+        _write("c.parquet", [("A", 5)])
+        assert _wait(
+            lambda rs: ("A", 5, 1) in rs
+        ), f"A state not evicted (expected restart at n_events=1): {_rows()}"
+        assert ("A", 5, 3) not in _rows(), "state survived the timeout"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
 def test_stateful_null_turn_idx_does_not_crash():
     """Raw pre-validation WAL rows can carry NULL turn_idx (NaN after
     Arrow->pandas); astype('int64') on NaN raises and would kill the whole

@@ -176,6 +176,65 @@ def test_sink_parity_quarantine_and_lineage(spark, tmp_path):
     assert recorded_lin == persisted_lin and len(recorded_lin) >= 1
 
 
+def test_maintenance_sql_golden():
+    """Maintenance procedures as pure golden strings (round-3 verdict item
+    #6): compaction, position-delete rewrite (the merge-on-read tombstone
+    reclaim), snapshot expiry and orphan cleanup across the table and both
+    side tables."""
+    from nifi_daffodil_spark.sinks.iceberg import maintenance_sql
+
+    got = maintenance_sql(
+        "lake.db.transcripts", retain_last=5, compact_deletes=True,
+        remove_orphans=True,
+    )
+    assert got == [
+        "CALL lake.system.rewrite_data_files(table => 'db.transcripts', "
+        "options => map('target-file-size-bytes', '536870912'))",
+        "CALL lake.system.rewrite_position_delete_files"
+        "(table => 'db.transcripts')",
+        "CALL lake.system.expire_snapshots(table => 'db.transcripts', "
+        "retain_last => 5)",
+        "CALL lake.system.expire_snapshots(table => "
+        "'db.transcripts_quarantine', retain_last => 5)",
+        "CALL lake.system.expire_snapshots(table => "
+        "'db.transcripts_lineage', retain_last => 5)",
+        "CALL lake.system.remove_orphan_files(table => 'db.transcripts')",
+        "CALL lake.system.remove_orphan_files(table => "
+        "'db.transcripts_quarantine')",
+        "CALL lake.system.remove_orphan_files(table => "
+        "'db.transcripts_lineage')",
+    ]
+    # minimal form: compaction only
+    assert maintenance_sql("c.t2") == [
+        "CALL c.system.rewrite_data_files(table => 't2', "
+        "options => map('target-file-size-bytes', '536870912'))",
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="catalog-qualified"):
+        maintenance_sql("bare_table")
+
+
+def test_maintenance_cli_prints_statements():
+    """`run_cdc.py --sink iceberg --mode maintenance` prints the CALL plan
+    instead of erroring (and needs no Spark session)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/run_cdc.py", "--wal-dir", "/nonexistent",
+         "--table", "lake.db.transcripts", "--checkpoint", "/nonexistent",
+         "--sink", "iceberg", "--mode", "maintenance", "--vacuum-keep", "3",
+         "--tombstone-horizon", "100"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("CALL ")]
+    assert any("rewrite_data_files" in ln for ln in lines)
+    assert any("rewrite_position_delete_files" in ln for ln in lines)
+    assert any("retain_last => 3" in ln for ln in lines)
+
+
 def test_evolve_schema_ddl_noop_when_aligned():
     table_cols = {"conv_id": "string", "turn_idx": "bigint"}
     batch = T.StructType(
