@@ -77,6 +77,8 @@ HEADLINE = [
     # (per-round localCheckpoint), so the warm+timed materialize harness
     # would time checkpoint re-reads, not the operator.
     "asof_join",
+    "asof_tolerance",
+    "asof_forward",
     "sessionize",
     "tpch_q3_topk",
     "agg_quantiles",

@@ -114,6 +114,22 @@ def test_asof_join_no_range_join_explosion(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+def test_asof_variants_same_plan_shape(spark):
+    """Forward direction and tolerance must not change the plan class: still
+    union+window on one key shuffle — no range join, no extra exchange
+    beyond the backward variant's."""
+    for q in (dq.q_asof_forward, dq.q_asof_tolerance):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan
+        base = _plan(dq.q_asof_join(spark, SF))
+        assert (
+            plan.count("Exchange hashpartitioning")
+            == base.count("Exchange hashpartitioning")
+        )
+
+
 def test_sessionize_single_shuffle(spark):
     """lag-window, running-sum window, and session agg all key on user_id:
     Catalyst must reuse ONE exchange for all three (hashpartitioning on
