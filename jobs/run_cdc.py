@@ -91,12 +91,16 @@ def main(argv: list[str] | None = None) -> int:
                      "--vacuum-keep")
         from nifi_daffodil_spark.sinks.iceberg import maintenance_sql
 
-        for stmt in maintenance_sql(
-            args.table,
-            retain_last=args.vacuum_keep,
-            compact_deletes=args.tombstone_horizon is not None,
-            remove_orphans=True,
-        ):
+        try:
+            stmts = maintenance_sql(
+                args.table,
+                retain_last=args.vacuum_keep,
+                compact_deletes=args.tombstone_horizon is not None,
+                remove_orphans=True,
+            )
+        except ValueError as e:  # unqualified --table: clean CLI error
+            ap.error(str(e))
+        for stmt in stmts:
             print(stmt)
         return 0
 

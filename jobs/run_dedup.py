@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="corpus-dedup", cores=args.cores)
     corpus = spark.read.parquet(args.corpus)
-    _, drops = dedup_corpus(
+    deduped, drops = dedup_corpus(
         corpus,
         id_col=args.id_col,
         text_col=args.text_col,
@@ -65,15 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         threshold=args.threshold,
         n_hashes=args.n_hashes,
         max_bucket_size=args.max_bucket_size or None,
+        checkpoint_drops=True,  # drops is written AND anti-joined below
     )
-    # drops is consumed twice (written + anti-joined into deduped): an eager
-    # localCheckpoint materializes the pair-gen/closure pipeline ONCE
-    drops = drops.localCheckpoint(eager=True)
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "docs_to_drop"))
-    deduped = corpus.join(
-        drops.select(drops["doc_id"].alias(args.id_col)),
-        on=args.id_col, how="left_anti",
-    )
     deduped.write.mode("overwrite").parquet(os.path.join(args.out, "deduped"))
 
     n_in = corpus.count()

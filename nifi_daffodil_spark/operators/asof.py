@@ -70,12 +70,16 @@ def asof_join(
         right_cols = {
             c: f"{c}_r" for c in right.columns if c not in (on, ts)
         }
-    payload = F.struct(
-        *[F.col(c).alias(alias) for c, alias in right_cols.items()],
-        # the matched right row's own ts rides along for the tolerance
-        # check (hidden — stripped from the output projection)
-        F.col(ts).alias("_rts"),
-    )
+    payload_fields = [F.col(c).alias(alias) for c, alias in right_cols.items()]
+    if tolerance is not None:
+        # the matched right row's own ts rides along for the tolerance check
+        # (hidden — stripped from the output projection). Only packed when a
+        # tolerance is set: the default path shouldn't shuffle a redundant
+        # timestamp copy per right row.
+        if "_rts" in right_cols.values():
+            raise ValueError("right_cols alias '_rts' is reserved")
+        payload_fields.append(F.col(ts).alias("_rts"))
+    payload = F.struct(*payload_fields)
     # NULL-ts right rows must never match: under asc ordering they would
     # sort FIRST and their payload would propagate to every left row of the
     # key, where SQL ASOF (`l.ts >= r.ts` is NULL) matches nothing
@@ -111,6 +115,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+    # NULL-ts LEFT rows must never match either: SQL ASOF's comparison is
+    # NULL. Backward ordering (asc = NULLS FIRST) happens to give them no
+    # preceding right row, but forward ordering (desc = NULLS LAST) sorts
+    # them AFTER every right row and last() would hand them the min-ts
+    # right payload — so null the match explicitly for both directions.
+    matched = matched.withColumn(
+        "_m", F.when(F.col(ts).isNotNull(), F.col("_m"))
+    )
     if tolerance is not None:
         # NTZ-safe exact micros compare (ANSI forbids a direct ntz->long
         # cast; ntz->timestamp->micros is exact and the UTC offsets cancel

@@ -496,13 +496,23 @@ class IvfIndex:
                     nloc = min(k, sims.shape[0])
                     for j, pos in enumerate(qpos):
                         col = sims[:, j]
-                        # keep the k best PLUS any boundary ties: argpartition
+                        # keep the k best PLUS boundary ties: argpartition
                         # alone breaks exact-cosine ties (duplicate vectors)
                         # arbitrarily, which could drop the candidate the
                         # final deterministic (cos DESC, vec_id) window — and
-                        # the oracle — would keep
+                        # the oracle — would keep. Ties are BOUNDED to the
+                        # nloc smallest vec_ids at the boundary value (the
+                        # window picks ties by vec_id asc, so any globally
+                        # selected tie from this batch is among them): a
+                        # cell full of N identical vectors emits <= 2k rows
+                        # per query, not N.
                         kth = np.partition(col, len(col) - nloc)[len(col) - nloc]
-                        idx = np.flatnonzero(col >= kth)
+                        better = np.flatnonzero(col > kth)
+                        ties = np.flatnonzero(col == kth)
+                        if len(ties) > nloc:
+                            tie_ids = grp["vec_id"].to_numpy()[ties]
+                            ties = ties[np.argsort(tie_ids, kind="stable")[:nloc]]
+                        idx = np.concatenate([better, ties])
                         yield pd.DataFrame(
                             {
                                 "qid": np.full(len(idx), qids[pos]),

@@ -459,6 +459,7 @@ def dedup_corpus(
     threshold: float = 0.5,
     n_hashes: int = 16,
     max_bucket_size: int | None = 64,
+    checkpoint_drops: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """END-TO-END corpus dedup: corpus in -> (deduped corpus, docs_to_drop).
 
@@ -480,8 +481,17 @@ def dedup_corpus(
     """
     if method == "exact":
         w = Window.partitionBy("_h")
+        # NULL text and empty-string text are NOT byte-identical: hash with
+        # a disambiguating prefix so missing-text docs group only with each
+        # other, never with ""-text docs (concat propagates NULL, so the
+        # coalesce arm only fires for NULL text)
         labeled = df.select(
-            F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+            F.col(id_col),
+            F.md5(
+                F.coalesce(
+                    F.concat(F.lit("t:"), F.col(text_col)), F.lit("null:")
+                )
+            ).alias("_h"),
         ).withColumn("component", F.min(id_col).over(w))
         drops = labeled.filter(F.col(id_col) != F.col("component")).select(
             F.col(id_col).alias("doc_id"), "component", F.lit(1).alias("is_dup")
@@ -499,6 +509,11 @@ def dedup_corpus(
         drops = resolve_keepers(pairs).filter(F.col("is_dup") == 1)
     else:
         raise ValueError(f"method must be minhash|exact, got {method!r}")
+    if checkpoint_drops:
+        # callers consuming BOTH outputs (write drops + anti-join them into
+        # deduped, like jobs/run_dedup.py) materialize the pair-gen/closure
+        # pipeline ONCE instead of twice
+        drops = drops.localCheckpoint(eager=True)
     deduped = df.join(
         drops.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
     )

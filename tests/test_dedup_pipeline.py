@@ -77,13 +77,15 @@ def test_dedup_corpus_exact_method(spark):
         (3, "the quick brown foxes"),
         (4, None),
         (6, None),
+        (7, ""),   # empty string is NOT byte-identical to missing text
+        (8, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     deduped, drops = dedup_corpus(df, method="exact")
     assert {(r["doc_id"], r["component"]) for r in drops.collect()} == {
-        (2, 1), (5, 1), (6, 4)
+        (2, 1), (5, 1), (6, 4), (8, 7)
     }
-    assert {r["doc_id"] for r in deduped.collect()} == {1, 3, 4}
+    assert {r["doc_id"] for r in deduped.collect()} == {1, 3, 4, 7}
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="minhash|exact"):

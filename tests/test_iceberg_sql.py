@@ -218,21 +218,34 @@ def test_maintenance_sql_golden():
 def test_maintenance_cli_prints_statements():
     """`run_cdc.py --sink iceberg --mode maintenance` prints the CALL plan
     instead of erroring (and needs no Spark session)."""
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "jobs/run_cdc.py", "--wal-dir", "/nonexistent",
          "--table", "lake.db.transcripts", "--checkpoint", "/nonexistent",
          "--sink", "iceberg", "--mode", "maintenance", "--vacuum-keep", "3",
          "--tombstone-horizon", "100"],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, cwd=repo,
     )
     assert out.returncode == 0, out.stderr[-500:]
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("CALL ")]
     assert any("rewrite_data_files" in ln for ln in lines)
     assert any("rewrite_position_delete_files" in ln for ln in lines)
     assert any("retain_last => 3" in ln for ln in lines)
+
+    # unqualified --table: clean argparse error, not a raw traceback
+    bad = subprocess.run(
+        [sys.executable, "jobs/run_cdc.py", "--wal-dir", "/nonexistent",
+         "--table", "bare_table", "--checkpoint", "/nonexistent",
+         "--sink", "iceberg", "--mode", "maintenance", "--vacuum-keep", "3"],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    assert bad.returncode == 2
+    assert "catalog-qualified" in bad.stderr
+    assert "Traceback" not in bad.stderr
 
 
 def test_evolve_schema_ddl_noop_when_aligned():

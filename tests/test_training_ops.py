@@ -543,7 +543,8 @@ def test_asof_join_forward_direction(spark):
 
     t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
     left = spark.createDataFrame(
-        [(1, 10, t(3)), (2, 10, t(4)), (3, 10, t(9)), (4, 20, t(0))],
+        [(1, 10, t(3)), (2, 10, t(4)), (3, 10, t(9)), (4, 20, t(0)),
+         (5, 10, None)],
         "lid long, user_id long, ts timestamp",
     )
     right = spark.createDataFrame(
@@ -561,6 +562,10 @@ def test_asof_join_forward_direction(spark):
         2: 101,   # equal ts matches (inclusive)
         3: None,  # nothing at-or-after
         4: None,  # key 20 has no right rows at all
+        # NULL-ts left row: SQL ASOF comparison is NULL -> no match (desc
+        # ordering sorts it LAST, after every right row — without the
+        # explicit guard it would pick up the min-ts right payload)
+        5: None,
     }
 
     import pytest as _pytest
