@@ -84,6 +84,10 @@ HEADLINE = [
     "agg_quantiles",
     "multimodal_decode",
     "ann_ivf_batch",
+    # round-4 additions
+    "tpch_q4_semijoin",
+    "cdc_scd2",
+    "text_repetition",
 ]
 
 _CDC_WORKER = r"""
@@ -237,12 +241,14 @@ def _run_control_once(cores: int, rows: int) -> dict:
 
 def _final_line(result: dict) -> str:
     """Serialize a result line under the driver's tail-capture contract:
-    target <= ~1.4 KB. If a future field pushes past it, drop the notes
-    pointer (pure redundancy — BASELINE.md documents the fields anyway)."""
-    line = json.dumps(result)
+    target <= ~1.4 KB. Compact separators (no space after , and :) — still
+    standard JSON, ~120 bytes saved across the result's keys. If a future
+    field pushes past the target anyway, drop the notes pointer (pure
+    redundancy — BASELINE.md documents the fields)."""
+    line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1400 and isinstance(result.get("cdc"), dict):
         result["cdc"].pop("notes", None)
-        line = json.dumps(result)
+        line = json.dumps(result, separators=(",", ":"))
     return line
 
 

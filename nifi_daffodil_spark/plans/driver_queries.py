@@ -1616,6 +1616,143 @@ FROM d
 """
 
 
+def q_cdc_scd2(spark, sf_dir):
+    """SCD Type-2 history: every change opens a version interval
+    [valid_from, valid_to) per (user_id, event_type) key, closed by the
+    NEXT change's timestamp in LSN order; the latest version stays open
+    (valid_to NULL, is_current=1). This is the standard lake "history
+    table" companion to the LWW current-state table the CDC sink
+    maintains — the reference's pipeline keeps only current state
+    (AbstractDaffodilProcessor.java transfer of the latest parse), so
+    this is the warehouse-side extension a real CDC consumer expects.
+
+    Scale: ONE shuffle on the merge key; lead() is a per-key sorted scan,
+    no self-join of the history against itself."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("lsn"),
+        F.col("value").alias("val"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+O_CDC_SCD2 = """
+SELECT user_id, event_type, event_id AS lsn, value AS val,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: distinct-word ratio and
+    top-bigram fraction per document (Rae et al. 2021 §A1.1 use these to
+    drop boilerplate/spam before LLM training). Bigrams are built
+    MAP-SIDE with higher-order array functions (transform over the word
+    array — zero shuffle, zero Python); the only exchange is the per-doc
+    count aggregation keyed by doc_id, which is the parallelism unit."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bigrams = F.expr(
+        "CASE WHEN size(ws) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(ws) - 2), "
+        "               i -> concat(ws[i], ' ', ws[i + 1])) END"
+    )
+    base = (
+        d.select("doc_id", words.alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.size(F.array_distinct("ws")).alias("n_distinct"),
+            F.explode(bigrams).alias("bg"),
+        )
+    )
+    counts = base.groupBy("doc_id", "n_words", "n_distinct", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dist_ratio = F.round(F.col("n_distinct") * 1.0 / F.col("n_words"), 6)
+    top_frac = F.round(F.max("c") * 1.0 / F.sum("c"), 6)
+    return (
+        counts.groupBy("doc_id", "n_words", "n_distinct")
+        .agg(top_frac.alias("top_bigram_frac"))
+        .select(
+            "doc_id",
+            "n_words",
+            dist_ratio.alias("distinct_ratio"),
+            "top_bigram_frac",
+            (
+                (F.col("top_bigram_frac") <= 0.18)
+                & (dist_ratio >= 0.1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+O_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+), b AS (
+  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+         unnest(CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                END) AS bg
+  FROM w
+), c AS (
+  SELECT doc_id, n_words, n_distinct, bg, count(*) AS c FROM b GROUP BY ALL
+)
+SELECT doc_id, n_words,
+       round(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+       round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
+       CAST(round(max(c) * 1.0 / sum(c), 6) <= 0.18
+            AND round(n_distinct * 1.0 / n_words, 6) >= 0.1 AS INTEGER) AS keep
+FROM c GROUP BY doc_id, n_words, n_distinct
+"""
+
+
+def q_tpch_q4_semijoin(spark, sf_dir):
+    """TPC-H Q4 analog (order-priority checking): count orders in a
+    date window having AT LEAST ONE qualifying lineitem — the canonical
+    EXISTS shape. Spark re-expression = LEFT SEMI join (no dedup pass,
+    no row multiplication when an order has many qualifying lines); the
+    date filter pushes to the orders scan and the discount filter to the
+    lineitem scan, so the semi join's build side is already pruned."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.06).select(
+        "l_orderkey"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1667,6 +1804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "agg_quantiles": q_agg_quantiles,
         "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q4_semijoin": q_tpch_q4_semijoin,
+        "cdc_scd2": q_cdc_scd2,
+        "text_repetition": q_text_repetition,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -1719,5 +1859,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": O_SESSIONIZE,
         "agg_quantiles": O_AGG_QUANTILES,
         "tpch_q3_topk": O_TPCH_Q3,
+        "tpch_q4_semijoin": O_TPCH_Q4,
+        "cdc_scd2": O_CDC_SCD2,
+        "text_repetition": O_TEXT_REPETITION,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

@@ -143,3 +143,32 @@ def test_tpch_q3_broadcasts_and_pushes_down(spark):
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
     assert "GreaterThan(l_shipdate" in plan and "LessThan(o_orderdate" in plan
+
+
+def test_tpch_q4_semi_join_with_pushdown(spark):
+    """The EXISTS re-expression must be a SEMI join (no row multiplication
+    from multi-line orders) with both filters pushed to their scans."""
+    plan = _plan(dq.q_tpch_q4_semijoin(spark, SF))
+    assert "LeftSemi" in plan
+    analyzed = dq.q_tpch_q4_semijoin(spark, SF)._jdf.queryExecution().toString()
+    assert "GreaterThan(l_discount" in analyzed
+    assert "GreaterThanOrEqual(o_orderdate" in analyzed
+
+
+def test_scd2_single_exchange(spark):
+    """SCD2 history is one window over the merge key: exactly one shuffle,
+    never a self-join of history against itself."""
+    plan = _plan(dq.q_cdc_scd2(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_text_repetition_no_python_and_one_key(spark):
+    """Bigram construction is map-side (higher-order array functions): the
+    plan has no Python evaluation, and every exchange keys on doc_id (the
+    document is the parallelism unit — no all-to-all stage)."""
+    plan = _plan(dq.q_text_repetition(spark, SF))
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line
