@@ -11,6 +11,8 @@ Recovery / maintenance:
         re-ingest quarantined rows after a validator/config fix
     --mode maintenance [--tombstone-horizon LSN] [--vacuum-keep N]
         reclaim old delete tombstones / unreferenced snapshot+delta dirs
+    --mode read [--as-of-epoch N]
+        count the table (optionally TIME-TRAVELED to epoch N's commit)
 
 Cluster packaging (BASELINE.json:14):
     zip -r engine.zip nifi_daffodil_spark
@@ -37,8 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--table", required=True, help="sink root dir (parquet) or iceberg table name")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode",
-                    choices=["stream", "batch", "replay-quarantine", "maintenance"],
+                    choices=["stream", "batch", "replay-quarantine",
+                             "maintenance", "read"],
                     default="stream")
+    ap.add_argument("--as-of-epoch", type=int, default=None,
+                    help="--mode read: time-travel to the table state as of "
+                         "this epoch's commit (omit for current state)")
     ap.add_argument("--epoch-id", type=int, default=None,
                     help="epoch id for --mode replay-quarantine (must be "
                          "unused; committed ids are no-ops)")
@@ -160,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
             else None
         )
         eng.replay_quarantine(args.epoch_id, epochs)
+    elif args.mode == "read":
+        pass  # no ingest work; the summary below does the (time-travel) read
     else:  # maintenance
         if args.tombstone_horizon is None and args.vacuum_keep is None:
             ap.error("--mode maintenance needs --tombstone-horizon and/or "
@@ -171,7 +179,15 @@ def main(argv: list[str] | None = None) -> int:
             removed = sink.vacuum(keep_last=args.vacuum_keep)
             print(f"vacuumed {len(removed)} dirs: {removed}")
 
-    n = sink.read_transcripts().count()
+    if args.as_of_epoch is not None and args.mode != "read":
+        ap.error("--as-of-epoch only applies to --mode read")
+    try:
+        n = sink.read_transcripts(as_of_epoch=args.as_of_epoch).count() \
+            if args.as_of_epoch is not None else sink.read_transcripts().count()
+    except LookupError as e:  # expired/unknown snapshot: clean CLI error
+        print(json.dumps({"error": str(e)}))
+        spark.stop()
+        return 1
     applied = [s for s in eng.stats if not s.skipped]
     summary = {
         "epochs_applied": len(applied),
@@ -182,6 +198,8 @@ def main(argv: list[str] | None = None) -> int:
         if applied
         else 0.0,
     }
+    if args.as_of_epoch is not None:
+        summary["as_of_epoch"] = args.as_of_epoch
     print(json.dumps(summary))
     spark.stop()
     return 0

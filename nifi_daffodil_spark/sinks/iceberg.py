@@ -173,6 +173,28 @@ def maintenance_sql(
     return stmts
 
 
+def snapshot_for_epoch_sql(table: str, epoch_id: int) -> str:
+    """Resolve the Iceberg snapshot committed by a given engine epoch: the
+    epoch id is stamped into every commit's summary (engine.epoch, the WAP
+    snapshot property set in apply_batch), so the snapshots metadata table
+    maps epoch -> snapshot_id. Latest commit wins if an epoch was retried."""
+    return (
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        f"WHERE summary['engine.epoch'] = '{int(epoch_id)}' "
+        "ORDER BY committed_at DESC LIMIT 1"
+    )
+
+
+def time_travel_sql(table: str, snapshot_id: int) -> str:
+    """Read the transcript table as of a physical snapshot (Iceberg
+    `VERSION AS OF`) — the catalog-side analog of
+    ParquetStateSink.read_transcripts(as_of_epoch=...)."""
+    return (
+        "SELECT conv_id, turn_idx, role, text, tool, ts "
+        f"FROM {table} VERSION AS OF {int(snapshot_id)}"
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""
@@ -303,7 +325,19 @@ class IcebergMergeSink(TranscriptSink):
         # engine.epoch property (or _last_snapshot_id() for ad-hoc checks)
         return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id}
 
-    def read_transcripts(self) -> DataFrame:
+    def read_transcripts(self, as_of_epoch: int | None = None) -> DataFrame:
+        if as_of_epoch is not None:
+            rows = self.spark.sql(
+                snapshot_for_epoch_sql(self.table, as_of_epoch)
+            ).collect()
+            if not rows:
+                raise LookupError(
+                    f"no Iceberg snapshot carries engine.epoch={as_of_epoch} "
+                    "(never committed, or expired by expire_snapshots)"
+                )
+            return self.spark.sql(
+                time_travel_sql(self.table, rows[0]["snapshot_id"])
+            )
         return self.spark.table(self.table).select(
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
         )

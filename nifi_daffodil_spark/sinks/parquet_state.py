@@ -84,6 +84,7 @@ class ParquetStateSink(TranscriptSink):
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "quarantine"), exist_ok=True)
         os.makedirs(os.path.join(root, "lineage"), exist_ok=True)
+        os.makedirs(os.path.join(root, "layouts"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
             self._write_manifest({"counter": 0, "buckets": {}, "epochs": {}})
 
@@ -319,6 +320,14 @@ class ParquetStateSink(TranscriptSink):
                 "buckets": touched,
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }
+            # snapshot layout BEFORE the manifest commit: the Iceberg
+            # metadata-json analog. One tiny json per epoch recording the
+            # bucket->dirs mapping at this commit, so read_*(as_of_epoch=E)
+            # can reconstruct exactly-this state later regardless of
+            # compactions that rewrite the CURRENT layout. A crash between
+            # here and _write_manifest leaves an orphan layout file —
+            # harmless, and the epoch retry overwrites it.
+            self._write_layout(epoch_id, snapshot_id, manifest["buckets"])
             self._write_manifest(manifest)  # the atomic commit
             return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id,
                     "buckets": touched}
@@ -347,8 +356,72 @@ class ParquetStateSink(TranscriptSink):
             os.path.join(self.root, "lineage", f"epoch-{int(epoch_id):08d}.parquet"),
         )
 
-    def read_transcripts(self) -> DataFrame:
-        m = self._read_manifest()
+    # ---- snapshot layouts (time travel) -----------------------------------
+
+    def _layout_path(self, epoch_id: int) -> str:
+        return os.path.join(self.root, "layouts", f"epoch-{int(epoch_id):08d}.json")
+
+    def _write_layout(self, epoch_id: int, snapshot_id: str, buckets: dict) -> None:
+        tmp = self._layout_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"epoch": int(epoch_id), "snapshot_id": snapshot_id,
+                 "buckets": buckets},
+                f, sort_keys=True,
+            )
+        os.replace(tmp, self._layout_path(epoch_id))
+
+    def _manifest_as_of(self, epoch_id: int) -> dict:
+        """Manifest-shaped view of the table AS OF the given epoch's commit,
+        loaded from its layout file. Raises LookupError if the snapshot was
+        never committed or has been expired by vacuum()."""
+        path = self._layout_path(epoch_id)
+        if not os.path.exists(path):
+            raise LookupError(
+                f"no snapshot layout for epoch {epoch_id}: either the epoch "
+                "was never committed to this table, or vacuum() expired it"
+            )
+        with open(path) as f:
+            layout = json.load(f)
+        m = {"buckets": layout["buckets"]}
+        missing = {
+            d
+            for b in m["buckets"]
+            for d in self._bucket_dirs(m, int(b))
+            if not os.path.isdir(os.path.join(self.root, "data", d))
+        }
+        if missing:
+            raise LookupError(
+                f"epoch {epoch_id}'s snapshot references data dirs removed "
+                f"by vacuum(): {sorted(missing)} — the snapshot is expired"
+            )
+        return m
+
+    def expired_layouts(self) -> list[int]:
+        """Epoch ids whose layout file still exists but whose snapshot
+        references vacuumed data dirs (candidates for layout cleanup)."""
+        out = []
+        for name in sorted(os.listdir(os.path.join(self.root, "layouts"))):
+            if not name.startswith("epoch-"):
+                continue
+            e = int(name.split("-")[1].split(".")[0])
+            try:
+                self._manifest_as_of(e)
+            except LookupError:
+                out.append(e)
+        return out
+
+    def read_transcripts(self, as_of_epoch: int | None = None) -> DataFrame:
+        """Live transcript rows; with `as_of_epoch`, TIME TRAVEL — the table
+        exactly as it stood after that epoch's commit (Iceberg
+        `VERSION AS OF` analog). Works after later compactions because the
+        epoch's layout pins the dirs that existed at commit time; expires
+        when vacuum() removes those dirs (like expire_snapshots)."""
+        m = (
+            self._read_manifest()
+            if as_of_epoch is None
+            else self._manifest_as_of(as_of_epoch)
+        )
         buckets = [int(b) for b in m["buckets"]]
         df = self._read_buckets(m, buckets)
         if df is None:
@@ -359,9 +432,14 @@ class ParquetStateSink(TranscriptSink):
             [f.name for f in TRANSCRIPT_SCHEMA.fields]
         )
 
-    def read_state(self) -> DataFrame | None:
-        """Current folded state (one row per live key, tombstones included)."""
-        m = self._read_manifest()
+    def read_state(self, as_of_epoch: int | None = None) -> DataFrame | None:
+        """Folded state (one row per live key, tombstones included); with
+        `as_of_epoch`, the state as of that epoch's commit."""
+        m = (
+            self._read_manifest()
+            if as_of_epoch is None
+            else self._manifest_as_of(as_of_epoch)
+        )
         buckets = [int(b) for b in m["buckets"]]
         df = self._read_buckets(m, buckets)
         if df is None:
@@ -405,11 +483,24 @@ class ParquetStateSink(TranscriptSink):
 
     def vacuum(self, keep_last: int = 4) -> list[str]:
         """Remove snap/delta dirs no bucket references, older than
-        counter-keep_last."""
+        counter-keep_last. The layouts of the last `keep_last` committed
+        epochs also pin their dirs, so recent time-travel snapshots survive
+        a vacuum; older snapshots whose dirs get removed are expired and
+        their layout files pruned (expire_snapshots semantics)."""
         m = self._read_manifest()
         referenced = {
             d for b in m["buckets"] for d in self._bucket_dirs(m, int(b))
         }
+        recent_epochs = sorted((int(e) for e in m["epochs"]), reverse=True)[:keep_last]
+        for e in recent_epochs:
+            path = self._layout_path(e)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                lm = {"buckets": json.load(f)["buckets"]}
+            referenced |= {
+                d for b in lm["buckets"] for d in self._bucket_dirs(lm, int(b))
+            }
         removed = []
         data_dir = os.path.join(self.root, "data")
         for d in sorted(os.listdir(data_dir)):
@@ -423,4 +514,7 @@ class ParquetStateSink(TranscriptSink):
             if d not in referenced and num <= m["counter"] - keep_last:
                 shutil.rmtree(os.path.join(data_dir, d))
                 removed.append(d)
+        if removed:
+            for e in self.expired_layouts():
+                os.remove(self._layout_path(e))
         return removed

@@ -257,3 +257,20 @@ def test_evolve_schema_ddl_noop_when_aligned():
         ]
     )
     assert evolve_schema_ddl(table_cols, batch) == []
+
+
+def test_time_travel_sql_golden():
+    from nifi_daffodil_spark.sinks.iceberg import (
+        snapshot_for_epoch_sql,
+        time_travel_sql,
+    )
+
+    assert snapshot_for_epoch_sql("lake.db.transcripts", 7) == (
+        "SELECT snapshot_id FROM lake.db.transcripts.snapshots "
+        "WHERE summary['engine.epoch'] = '7' "
+        "ORDER BY committed_at DESC LIMIT 1"
+    )
+    assert time_travel_sql("lake.db.transcripts", 123456789) == (
+        "SELECT conv_id, turn_idx, role, text, tool, ts "
+        "FROM lake.db.transcripts VERSION AS OF 123456789"
+    )
