@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--as-of-epoch", type=int, default=None,
                     help="--mode read: time-travel to the table state as of "
                          "this epoch's commit (omit for current state)")
+    ap.add_argument("--changes-since", type=int, default=None,
+                    help="--mode read: incremental read — count the NET "
+                         "change rows committed after this epoch (parquet "
+                         "sink only; reads just the delta dirs)")
     ap.add_argument("--epoch-id", type=int, default=None,
                     help="epoch id for --mode replay-quarantine (must be "
                          "unused; committed ids are no-ops)")
@@ -181,9 +185,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.as_of_epoch is not None and args.mode != "read":
         ap.error("--as-of-epoch only applies to --mode read")
+    if args.changes_since is not None and (
+        args.mode != "read" or not hasattr(sink, "read_changes")
+    ):
+        ap.error("--changes-since needs --mode read and the parquet sink")
     try:
         n = sink.read_transcripts(as_of_epoch=args.as_of_epoch).count() \
             if args.as_of_epoch is not None else sink.read_transcripts().count()
+        n_changes = (
+            sink.read_changes(after_epoch=args.changes_since).count()
+            if args.changes_since is not None
+            else None
+        )
     except LookupError as e:  # expired/unknown snapshot: clean CLI error
         print(json.dumps({"error": str(e)}))
         spark.stop()
@@ -200,6 +213,9 @@ def main(argv: list[str] | None = None) -> int:
     }
     if args.as_of_epoch is not None:
         summary["as_of_epoch"] = args.as_of_epoch
+    if args.changes_since is not None:
+        summary["changes_since"] = args.changes_since
+        summary["change_rows"] = n_changes
     print(json.dumps(summary))
     spark.stop()
     return 0

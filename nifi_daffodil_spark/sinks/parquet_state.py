@@ -317,6 +317,7 @@ class ParquetStateSink(TranscriptSink):
             manifest["counter"] = counter
             manifest["epochs"][str(epoch_id)] = {
                 "snapshot_id": snapshot_id,
+                "delta": delta,  # this epoch's append dir: incremental reads
                 "buckets": touched,
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }
@@ -445,6 +446,53 @@ class ParquetStateSink(TranscriptSink):
         if df is None:
             return None
         return self._fold(df) if self._needs_fold(m, buckets) else df
+
+    def read_changes(
+        self, after_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Incremental consumption (Iceberg incremental-read analog): the
+        NET change rows committed in epochs (after_epoch, to_epoch] — one
+        row per touched key carrying its final value in the range, deletes
+        included as op='D'. A downstream consumer polling this after each
+        epoch sees exactly the rows it must upsert/delete to stay in sync.
+
+        Cost is O(changed data): only the range's delta append dirs are
+        read — never the table. Raises LookupError if a needed delta was
+        already vacuumed (consumer fell too far behind the retention
+        window — re-bootstrap from a full snapshot instead)."""
+        m = self._read_manifest()
+        epochs = sorted(int(e) for e in m["epochs"])
+        if to_epoch is None:
+            to_epoch = epochs[-1] if epochs else after_epoch
+        wanted = [e for e in epochs if after_epoch < e <= to_epoch]
+        if not wanted:
+            return self.spark.createDataFrame([], _FILE_SCHEMA)
+        dirs = []
+        for e in wanted:
+            ent = m["epochs"][str(e)]
+            # older tables lack the explicit delta field: the snapshot id
+            # is prefixed with the delta dir name (delta-NNNNNN-<uuid5>)
+            dirs.append(ent.get("delta") or "-".join(ent["snapshot_id"].split("-")[:2]))
+        missing = sorted(
+            d for d in set(dirs)
+            if not os.path.isdir(os.path.join(self.root, "data", d))
+        )
+        if missing:
+            raise LookupError(
+                f"incremental read over epochs ({after_epoch}, {to_epoch}] "
+                f"needs delta dirs removed by vacuum(): {missing} — "
+                "re-bootstrap from read_transcripts() instead"
+            )
+        parts = [
+            self.spark.read.schema(_FILE_SCHEMA).parquet(
+                os.path.join(self.root, "data", d)
+            )
+            for d in dirs
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return self._fold(df) if len(parts) > 1 else df
 
     def read_quarantine(self) -> DataFrame:
         qdir = os.path.join(self.root, "quarantine")

@@ -163,12 +163,10 @@ def test_scd2_single_exchange(spark):
     assert "Join" not in plan
 
 
-def test_text_repetition_no_python_and_one_key(spark):
-    """Bigram construction is map-side (higher-order array functions): the
-    plan has no Python evaluation, and every exchange keys on doc_id (the
-    document is the parallelism unit — no all-to-all stage)."""
+def test_text_repetition_zero_shuffle_no_python(spark):
+    """The whole computation is map-side (sorted bigram array + run-length
+    aggregate): no Python evaluation and NO exchange at all — the plan is
+    a pure projection over the scan, embarrassingly parallel at any SF."""
     plan = _plan(dq.q_text_repetition(spark, SF))
     assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "doc_id" in line
+    assert "Exchange" not in plan

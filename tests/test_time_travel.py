@@ -94,3 +94,40 @@ def test_vacuum_expires_old_snapshots_keeps_recent(spark, tmp_path):
     assert _texts(eng.sink.read_transcripts(as_of_epoch=4)) == {("k", 0): "v4"}
     # and the current read is unaffected
     assert _texts(eng.sink.read_transcripts()) == {("k", 0): "v5"}
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    """Incremental consumption: (after, to] epoch range returns the NET
+    per-key change set, deletes included, reading only delta dirs."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS),
+                        (2, "I", "b", 0, "user", "b-v1", None, TS)]), 0)
+    eng.process_batch(
+        _events(spark, [(3, "U", "a", 0, "user", "v2", None, TS)]), 1)
+    eng.process_batch(
+        _events(spark, [(4, "U", "a", 0, "user", "v3", None, TS),
+                        (5, "D", "b", 0, None, None, None, TS)]), 2)
+
+    ch = {(r["conv_id"], r["turn_idx"]): (r["text"], r["op"])
+          for r in eng.sink.read_changes(after_epoch=0).collect()}
+    # net change over epochs 1..2: a folded to its FINAL value, b deleted
+    assert ch == {("a", 0): ("v3", "U"), ("b", 0): (None, "D")}
+
+    only_e1 = {(r["conv_id"], r["turn_idx"]): r["text"]
+               for r in eng.sink.read_changes(0, 1).collect()}
+    assert only_e1 == {("a", 0): "v2"}
+
+    assert eng.sink.read_changes(after_epoch=2).count() == 0
+
+
+def test_read_changes_expired_after_vacuum(spark, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path, max_deltas=1, max_runs=1)
+    for e in range(6):
+        eng.process_batch(
+            _events(spark, [(10 + e, "U", "k", 0, "user", f"v{e}", None, TS)]), e)
+    assert eng.sink.vacuum(keep_last=2)
+    with pytest.raises(LookupError, match="re-bootstrap"):
+        eng.sink.read_changes(after_epoch=-1, to_epoch=1).collect()
