@@ -88,6 +88,8 @@ HEADLINE = [
     "tpch_q4_semijoin",
     "cdc_scd2",
     "text_repetition",
+    "cdc_pivot",
+    "cdc_rolling_window",
 ]
 
 _CDC_WORKER = r"""

@@ -1759,6 +1759,65 @@ ORDER BY o_orderpriority
 """
 
 
+def q_cdc_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per-user event counts, one column per event
+    type. Deliberately NOT DataFrame.pivot(): even with declared values it
+    plans TWO aggregations — a (user_id, event_type) count then a
+    pivotfirst re-shuffle on user_id alone — i.e. two exchanges. The
+    conditional-aggregate form below is the same wide result in ONE hash
+    aggregation with map-side partials (one exchange, plan-test locked);
+    at 10^10 events that is half the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+O_CDC_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_cdc_rolling_window(spark, sf_dir):
+    """Time-range rolling aggregate: each event's trailing-1-hour value sum
+    per user (RANGE frame over the event timestamp, not a row frame — peers
+    at the same ts are included both sides, so the result is deterministic
+    without a row-order tiebreak). Sums go through DECIMAL(18,4) so both
+    engines add exactly. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    # ts is TIMESTAMP_NTZ: pure NTZ microsecond arithmetic (no session-tz
+    # dependence, unlike unix_micros(CAST(ts AS TIMESTAMP)))
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 4
+        ).alias("rolling_1h"),
+    )
+
+
+O_CDC_ROLLING = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 4) AS rolling_1h
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1813,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "cdc_scd2": q_cdc_scd2,
         "text_repetition": q_text_repetition,
+        "cdc_pivot": q_cdc_pivot,
+        "cdc_rolling_window": q_cdc_rolling_window,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -1868,5 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_semijoin": O_TPCH_Q4,
         "cdc_scd2": O_CDC_SCD2,
         "text_repetition": O_TEXT_REPETITION,
+        "cdc_pivot": O_CDC_PIVOT,
+        "cdc_rolling_window": O_CDC_ROLLING,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

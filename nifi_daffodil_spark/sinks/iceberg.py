@@ -195,6 +195,18 @@ def time_travel_sql(table: str, snapshot_id: int) -> str:
     )
 
 
+def incremental_read_options(
+    start_snapshot_id: int, end_snapshot_id: int | None = None
+) -> dict[str, str]:
+    """Reader options for Iceberg incremental consumption: appended rows in
+    (start_snapshot, end_snapshot] — the catalog-side analog of
+    ParquetStateSink.read_changes. Pure builder, golden-tested."""
+    opts = {"start-snapshot-id": str(int(start_snapshot_id))}
+    if end_snapshot_id is not None:
+        opts["end-snapshot-id"] = str(int(end_snapshot_id))
+    return opts
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""
@@ -341,6 +353,32 @@ class IcebergMergeSink(TranscriptSink):
         return self.spark.table(self.table).select(
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
         )
+
+    def read_changes(
+        self, after_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Incremental consumption: rows appended by epochs in
+        (after_epoch, to_epoch], resolved through the engine.epoch snapshot
+        summary property and Iceberg's incremental read options."""
+
+        def _snap(epoch: int) -> int:
+            rows = self.spark.sql(
+                snapshot_for_epoch_sql(self.table, epoch)
+            ).collect()
+            if not rows:
+                raise LookupError(
+                    f"no Iceberg snapshot carries engine.epoch={epoch}"
+                )
+            return rows[0]["snapshot_id"]
+
+        opts = incremental_read_options(
+            _snap(after_epoch),
+            _snap(to_epoch) if to_epoch is not None else None,
+        )
+        reader = self.spark.read.format("iceberg")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load(self.table)
 
     def read_quarantine(self) -> DataFrame:
         return self.spark.table(f"{self.table}_quarantine")

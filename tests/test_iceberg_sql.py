@@ -274,3 +274,13 @@ def test_time_travel_sql_golden():
         "SELECT conv_id, turn_idx, role, text, tool, ts "
         "FROM lake.db.transcripts VERSION AS OF 123456789"
     )
+
+
+def test_incremental_read_options_golden():
+    from nifi_daffodil_spark.sinks.iceberg import incremental_read_options
+
+    assert incremental_read_options(111) == {"start-snapshot-id": "111"}
+    assert incremental_read_options(111, 222) == {
+        "start-snapshot-id": "111",
+        "end-snapshot-id": "222",
+    }

@@ -170,3 +170,17 @@ def test_text_repetition_zero_shuffle_no_python(spark):
     plan = _plan(dq.q_text_repetition(spark, SF))
     assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
     assert "Exchange" not in plan
+
+
+def test_pivot_single_aggregation(spark):
+    """The conditional-aggregate pivot must be ONE hash aggregation on
+    user_id — DataFrame.pivot() would plan a second aggregation +
+    exchange (pivotfirst), doubling the shuffle at scale."""
+    plan = _plan(dq.q_cdc_pivot(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pivotfirst" not in plan
+
+
+def test_rolling_window_single_exchange(spark):
+    plan = _plan(dq.q_cdc_rolling_window(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
