@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="--mode read: incremental read — count the NET "
                          "change rows committed after this epoch (parquet "
                          "sink only; reads just the delta dirs)")
+    ap.add_argument("--conv-id", default=None,
+                    help="--mode read: point lookup — count one "
+                         "conversation's turns via bucket-pruned scan "
+                         "(parquet sink only)")
     ap.add_argument("--epoch-id", type=int, default=None,
                     help="epoch id for --mode replay-quarantine (must be "
                          "unused; committed ids are no-ops)")
@@ -189,6 +193,10 @@ def main(argv: list[str] | None = None) -> int:
         args.mode != "read" or not hasattr(sink, "read_changes")
     ):
         ap.error("--changes-since needs --mode read and the parquet sink")
+    if args.conv_id is not None and (
+        args.mode != "read" or not hasattr(sink, "read_conversation")
+    ):
+        ap.error("--conv-id needs --mode read and the parquet sink")
     try:
         n = sink.read_transcripts(as_of_epoch=args.as_of_epoch).count() \
             if args.as_of_epoch is not None else sink.read_transcripts().count()
@@ -216,6 +224,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.changes_since is not None:
         summary["changes_since"] = args.changes_since
         summary["change_rows"] = n_changes
+    if args.conv_id is not None:
+        summary["conv_id"] = args.conv_id
+        summary["conv_rows"] = sink.read_conversation(args.conv_id).count()
     print(json.dumps(summary))
     spark.stop()
     return 0

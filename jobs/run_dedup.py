@@ -10,7 +10,7 @@ operator calls; this is the equivalent runnable surface for dedup.
 
 Usage (local sandbox):
     python jobs/run_dedup.py --corpus /root/testdata/sf0.01/documents.parquet \
-        --out /tmp/dedup_out [--method minhash|exact] [--threshold 0.5]
+        --out /tmp/dedup_out [--method minhash|simhash|exact] [--threshold 0.5]
         [--n-hashes 16] [--max-bucket-size 64] [--cores 8]
 
 Outputs under --out:
@@ -39,9 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--corpus", required=True,
                     help="parquet file/dir with (doc_id, text, ...)")
     ap.add_argument("--out", required=True, help="output directory")
-    ap.add_argument("--method", choices=["minhash", "exact"], default="minhash")
-    ap.add_argument("--threshold", type=float, default=0.5,
-                    help="minhash: exact-Jaccard verification threshold")
+    ap.add_argument("--method", choices=["minhash", "simhash", "exact"],
+                    default="minhash")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="minhash: exact-Jaccard verification threshold "
+                         "(default 0.5); simhash: max hamming distance "
+                         "(default 3)")
     ap.add_argument("--n-hashes", type=int, default=16,
                     help="minhash: signature length (= bands at r=1)")
     ap.add_argument("--max-bucket-size", type=int, default=64,
@@ -62,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
         id_col=args.id_col,
         text_col=args.text_col,
         method=args.method,
-        threshold=args.threshold,
+        threshold=(args.threshold if args.threshold is not None
+                   else (3.0 if args.method == "simhash" else 0.5)),
         n_hashes=args.n_hashes,
         max_bucket_size=args.max_bucket_size or None,
         checkpoint_drops=True,  # drops is written AND anti-joined below

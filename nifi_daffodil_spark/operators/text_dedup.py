@@ -507,8 +507,17 @@ def dedup_corpus(
             max_bucket_size=max_bucket_size,
         ).select("d1", "d2")
         drops = resolve_keepers(pairs).filter(F.col("is_dup") == 1)
+    elif method == "simhash":
+        # 64-bit SimHash, hamming <= max_hamming via pigeonhole banding —
+        # O(n) blocking; catches boilerplate-style near-dups MinHash's
+        # Jaccard threshold can miss. threshold is reused as max_hamming
+        # when integral (CLI surfaces --threshold for both methods).
+        pairs = simhash64_near_pairs(
+            df, id_col, text_col, max_hamming=int(threshold)
+        ).select("d1", "d2")
+        drops = resolve_keepers(pairs).filter(F.col("is_dup") == 1)
     else:
-        raise ValueError(f"method must be minhash|exact, got {method!r}")
+        raise ValueError(f"method must be minhash|simhash|exact, got {method!r}")
     if checkpoint_drops:
         # callers consuming BOTH outputs (write drops + anti-join them into
         # deduped, like jobs/run_dedup.py) materialize the pair-gen/closure

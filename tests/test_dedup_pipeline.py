@@ -90,3 +90,27 @@ def test_dedup_corpus_exact_method(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="minhash|exact"):
         dedup_corpus(df, method="fuzzy")
+
+
+def test_dedup_corpus_simhash_method(spark):
+    """simhash mode must drop exactly the non-keeper members of the
+    components over simhash64_near_pairs at the same hamming bound."""
+    from pyspark.sql import functions as F
+
+    from nifi_daffodil_spark.operators.text_dedup import (
+        dedup_corpus,
+        resolve_keepers,
+        simhash64_near_pairs,
+    )
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    deduped, drops = dedup_corpus(corpus, method="simhash", threshold=3)
+    expected = {
+        (r["doc_id"], r["component"])
+        for r in resolve_keepers(
+            simhash64_near_pairs(corpus, max_hamming=3).select("d1", "d2")
+        ).filter(F.col("is_dup") == 1).collect()
+    }
+    got = {(r["doc_id"], r["component"]) for r in drops.collect()}
+    assert got == expected and got  # non-empty at sf0.01
+    assert deduped.count() == corpus.count() - len(got)
