@@ -7,9 +7,10 @@ columnar):
     -> validate (tiered check expressions)   ≈ Daffodil validation modes
        + observe() metrics                   (raw/bad counts ride the pass)
     -> split valid / quarantine              ≈ success/failure relationships
-    -> LWW dedup window                      (north-rule mandated shape)
+    -> bucket tag + ONE bucket repartition   (the epoch's only full shuffle)
+    -> LWW dedup window                      (north-rule shape; rides the
+                                              bucket exchange — superset key)
     -> normalize text (Arrow pandas UDF)     ≈ parse/unparse canonicalization
-    -> bucket tag (no repartition here)      (skew handling lives in the sink)
     -> sink.apply_batch: idempotent MERGE    ≈ session commit, @SideEffectFree
     -> lineage + metrics per bucket          ≈ provenance events
 
@@ -88,21 +89,28 @@ class CdcEngine:
 
     def _finish_batch(self, valid: DataFrame) -> DataFrame:
         cfg = self.config
-        deduped = lww_dedup(valid)  # before the UDF: normalize only winners
+        # ONE full-batch shuffle per epoch, keyed by bucket. The dedup
+        # window then partitions by (bucket, conv_id, turn_idx) — a
+        # SUPERSET of the exchange key, so Catalyst reuses the bucket
+        # exchange (hashpartitioning(bucket) satisfies the window's
+        # ClusteredDistribution; plan-test locked) instead of shuffling on
+        # (conv_id, turn_idx) and letting the sink shuffle AGAIN on bucket
+        # for the partitioned delta write. Per-key semantics are unchanged
+        # (bucket is a function of conv_id). Dedup/write parallelism =
+        # n_buckets — size it to the cluster (SURVEY §4); the skew unit
+        # stays one (conv, turn) inside a bucket partition, and the
+        # Iceberg sink still salts its own MERGE source.
+        tagged = valid.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
+        ).repartition("bucket")
+        deduped = lww_dedup(tagged, keys=("bucket", "conv_id", "turn_idx"))
+        # after dedup, before anything else: normalize only winners
         normalized = deduped.withColumn(
             "text", self._normalize_udf(F.col("text"))
         )
-        # NOTE: no repartition here. The dedup window already shuffled by
-        # (conv_id, turn_idx); any further redistribution belongs to the sink
-        # (ParquetStateSink re-keys for its merge window + partitioned write,
-        # IcebergMergeSink salts its own MERGE source). An exchange here would
-        # be a pure extra shuffle of the whole batch.
         return (
             normalized.withColumn("turn_idx", F.col("turn_idx").cast("int"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
-            )
             .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "op", "bucket")
         )
 

@@ -174,7 +174,11 @@ class ParquetStateSink(TranscriptSink):
         )
 
     def _write_partitioned(
-        self, df: DataFrame, dir_path: str, sort: bool = False
+        self,
+        df: DataFrame,
+        dir_path: str,
+        sort: bool = False,
+        repartition: bool = True,
     ) -> set[int]:
         """Write state rows bucket-partitioned to dir_path; returns the
         bucket ids that actually materialized a partition dir (an empty
@@ -188,8 +192,16 @@ class ParquetStateSink(TranscriptSink):
         the write-path sort at ~1.7x epoch wall (full rows incl. text
         payloads spill through the sorter), and deltas are transient —
         folded away within max_deltas epochs — so sorting them buys
-        nothing durable."""
-        out = df.select(*_STATE_COLS, "op", "bucket").repartition("bucket")
+        nothing durable.
+
+        repartition=False skips the bucket exchange for callers whose df is
+        ALREADY hashpartitioned by bucket (the engine's batch — its dedup
+        shuffle keys on bucket exactly so this write is exchange-free).
+        partitionBy stays correct under any partitioning; an unpartitioned
+        caller would just emit more part-files per bucket dir."""
+        out = df.select(*_STATE_COLS, "op", "bucket")
+        if repartition:
+            out = out.repartition("bucket")
         if sort:
             # bucket FIRST: partitionBy's writer requires a sort on the
             # partition column and would insert its own (unstable) one,
@@ -248,7 +260,8 @@ class ParquetStateSink(TranscriptSink):
             counter = manifest["counter"] + 1
             delta = f"delta-{counter:06d}"
             written = self._write_partitioned(
-                batch, os.path.join(self.root, "data", delta)
+                batch, os.path.join(self.root, "data", delta),
+                repartition=False,  # engine batches arrive bucket-partitioned
             )
             tprev = _tl("delta write", tprev)
             for b in touched:

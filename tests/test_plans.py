@@ -71,6 +71,12 @@ def test_lww_dedup_no_extra_exchange_after_repartition(spark):
     )
     plan = _plan(eng._finish_batch(ev))
     assert plan.count("Exchange") == 1, plan
+    # the single exchange keys on bucket (so the sink's partitioned delta
+    # write is exchange-free) and the dedup window rides it: its superset
+    # partition key (bucket, conv_id, turn_idx) needs no second shuffle,
+    # and WindowGroupLimit pushes the rank-1 filter below the sort
+    assert "Exchange hashpartitioning(bucket" in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_connected_components_no_cartesian(spark):
