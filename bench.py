@@ -90,6 +90,7 @@ HEADLINE = [
     "text_repetition",
     "cdc_pivot",
     "cdc_rolling_window",
+    "agg_count_distinct",
 ]
 
 _CDC_WORKER = r"""

@@ -1818,6 +1818,24 @@ FROM events
 """
 
 
+def q_agg_count_distinct(spark, sf_dir):
+    """Exact distinct aggregation: per-type distinct users + event count.
+    Spark plans count(DISTINCT x) alongside count(*) via Expand (one row
+    duplicated per aggregate family) + two-level partial aggregation —
+    still map-side-combining, still one wide shuffle keyed by the group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+O_AGG_COUNT_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1874,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "cdc_pivot": q_cdc_pivot,
         "cdc_rolling_window": q_cdc_rolling_window,
+        "agg_count_distinct": q_agg_count_distinct,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -1931,5 +1950,6 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": O_TEXT_REPETITION,
         "cdc_pivot": O_CDC_PIVOT,
         "cdc_rolling_window": O_CDC_ROLLING,
+        "agg_count_distinct": O_AGG_COUNT_DISTINCT,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }
