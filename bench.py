@@ -299,8 +299,11 @@ def main() -> int:
         _materialize(df)  # warm: plan + IO cache + JIT
         t0 = time.monotonic()
         _materialize(df)
-        timings[name] = round(time.monotonic() - t0, 3)
-    total = round(sum(timings.values()), 3)
+        # 2 decimals: 10 ms resolution is plenty for ~0.2-2 s queries, and
+        # the byte budget of the final line (<=1400, tail-capture contract)
+        # now carries 28 headline entries
+        timings[name] = round(time.monotonic() - t0, 2)
+    total = round(sum(timings.values()), 2)
     spark.stop()
 
     result = {
@@ -314,7 +317,7 @@ def main() -> int:
     # minutes (runs=3 interleaved), and if the harness is killed mid-phase
     # the last complete JSON line should still carry the headline results.
     # The final print below supersedes this line when the full run finishes.
-    print(json.dumps(result), flush=True)
+    print(_final_line(result), flush=True)
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         n_events = int(os.environ.get("BENCH_WAL_EVENTS", "2000000"))
@@ -460,7 +463,7 @@ def main() -> int:
             _try(lambda: _run_cdc_once(hi_cores, wal), hi_s)
             _emit_cdc(c_lo_s, c_hi_s, lo_s, hi_s)
     else:
-        print(json.dumps(result))
+        print(_final_line(result))
     return 0
 
 

@@ -39,5 +39,9 @@ class TranscriptSink(ABC):
         scan when the caller already aggregated per-bucket lineage)."""
 
     @abstractmethod
-    def read_transcripts(self) -> DataFrame:
-        """Current table state in TRANSCRIPT_SCHEMA shape."""
+    def read_transcripts(self, as_of_epoch: int | None = None) -> DataFrame:
+        """Table state in TRANSCRIPT_SCHEMA shape; with `as_of_epoch`,
+        TIME TRAVEL to that epoch's commit (both sinks implement it —
+        layout files on the parquet sink, engine.epoch snapshot summary +
+        VERSION AS OF on Iceberg). Raise LookupError for an unknown or
+        expired snapshot."""

@@ -18,10 +18,10 @@ import bench
 def _full_result() -> dict:
     # worst-case realistic values: every headline query present with 3-digit
     # ms resolution, full control + two level dicts + all summary fields
-    queries = {name: 12.345 for name in bench.HEADLINE}
+    queries = {name: 12.34 for name in bench.HEADLINE}
     return {
         "metric": "headline query suite wall time + CDC MERGE-apply throughput",
-        "value": round(sum(queries.values()), 3),
+        "value": round(sum(queries.values()), 2),
         "unit": "sec",
         "queries": queries,
         "sf": 0.1,
