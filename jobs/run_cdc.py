@@ -46,9 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="--mode read: time-travel to the table state as of "
                          "this epoch's commit (omit for current state)")
     ap.add_argument("--changes-since", type=int, default=None,
-                    help="--mode read: incremental read — count the NET "
-                         "change rows committed after this epoch (parquet "
-                         "sink only; reads just the delta dirs)")
+                    help="--mode read: incremental read — count the change "
+                         "rows committed after this epoch (parquet: NET "
+                         "per-key rows from the delta dirs; iceberg: "
+                         "changelog view)")
     ap.add_argument("--conv-id", default=None,
                     help="--mode read: point lookup — count one "
                          "conversation's turns via bucket-pruned scan "
@@ -125,6 +126,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"generated WAL: {len(man['v0']) + len(man['v1'])} segments, "
               f"{man['n_events']} events under {args.wal_dir}")
 
+    # read-flag validation BEFORE any work: a flag mistake must be a usage
+    # error up front, not after a full (already committed) ingest
+    if args.as_of_epoch is not None and args.mode != "read":
+        ap.error("--as-of-epoch only applies to --mode read")
+    if args.changes_since is not None and args.mode != "read":
+        ap.error("--changes-since only applies to --mode read")
+    if args.conv_id is not None and (
+        args.mode != "read" or args.sink != "parquet"
+    ):
+        ap.error("--conv-id needs --mode read and the parquet sink")
+
     spark = build_session(app_name="cdc-ingest", cores=args.cores)
     cfg = EngineConfig(
         validation_mode=args.validation,
@@ -187,19 +199,8 @@ def main(argv: list[str] | None = None) -> int:
             removed = sink.vacuum(keep_last=args.vacuum_keep)
             print(f"vacuumed {len(removed)} dirs: {removed}")
 
-    if args.as_of_epoch is not None and args.mode != "read":
-        ap.error("--as-of-epoch only applies to --mode read")
-    if args.changes_since is not None and (
-        args.mode != "read" or not hasattr(sink, "read_changes")
-    ):
-        ap.error("--changes-since needs --mode read and the parquet sink")
-    if args.conv_id is not None and (
-        args.mode != "read" or not hasattr(sink, "read_conversation")
-    ):
-        ap.error("--conv-id needs --mode read and the parquet sink")
     try:
-        n = sink.read_transcripts(as_of_epoch=args.as_of_epoch).count() \
-            if args.as_of_epoch is not None else sink.read_transcripts().count()
+        n = sink.read_transcripts(as_of_epoch=args.as_of_epoch).count()
         n_changes = (
             sink.read_changes(after_epoch=args.changes_since).count()
             if args.changes_since is not None

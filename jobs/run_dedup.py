@@ -43,8 +43,8 @@ def main(argv: list[str] | None = None) -> int:
                     default="minhash")
     ap.add_argument("--threshold", type=float, default=None,
                     help="minhash: exact-Jaccard verification threshold "
-                         "(default 0.5); simhash: max hamming distance "
-                         "(default 3)")
+                         "(default 0.5); simhash: max hamming distance, "
+                         "an integer in [0, 3] (default 3)")
     ap.add_argument("--n-hashes", type=int, default=16,
                     help="minhash: signature length (= bands at r=1)")
     ap.add_argument("--max-bucket-size", type=int, default=64,
@@ -60,17 +60,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="corpus-dedup", cores=args.cores)
     corpus = spark.read.parquet(args.corpus)
-    deduped, drops = dedup_corpus(
-        corpus,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        method=args.method,
-        threshold=(args.threshold if args.threshold is not None
-                   else (3.0 if args.method == "simhash" else 0.5)),
-        n_hashes=args.n_hashes,
-        max_bucket_size=args.max_bucket_size or None,
-        checkpoint_drops=True,  # drops is written AND anti-joined below
-    )
+    try:
+        deduped, drops = dedup_corpus(
+            corpus,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            method=args.method,
+            threshold=args.threshold,  # None -> per-method default (0.5 / 3)
+            n_hashes=args.n_hashes,
+            max_bucket_size=args.max_bucket_size or None,
+            checkpoint_drops=True,  # drops is written AND anti-joined below
+        )
+    except ValueError as e:  # bad threshold for the method: clean CLI error
+        ap.error(str(e))
     drops.write.mode("overwrite").parquet(os.path.join(args.out, "docs_to_drop"))
     deduped.write.mode("overwrite").parquet(os.path.join(args.out, "deduped"))
 
@@ -85,7 +87,18 @@ def main(argv: list[str] | None = None) -> int:
         "docs_out": n_out,
         "dup_clusters": n_clusters,
     }
-    assert n_out == n_in - n_drop, summary
+    if n_out != n_in - n_drop:
+        # a real check, not an assert (stripped under python -O): duplicate
+        # doc_id rows in the corpus make the anti-join remove more rows than
+        # docs_to_drop names — surface it machine-readably with the outputs
+        # already on disk so the operator can inspect them
+        summary["error"] = (
+            "deduped row count != docs_in - docs_dropped: the corpus has "
+            "duplicate doc_id rows; outputs were written but are suspect"
+        )
+        print(json.dumps(summary))
+        spark.stop()
+        return 1
     print(json.dumps(summary))
     spark.stop()
     return 0

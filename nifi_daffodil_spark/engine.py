@@ -15,11 +15,14 @@ columnar):
     -> lineage + metrics per bucket          ≈ provenance events
 
 Plan hygiene: everything upstream of the normalize UDF is whole-stage
-codegen; the UDF is one Arrow exchange; the only wide shuffle in the prepare
-stage is the dedup window, keyed (conv_id, turn_idx) so a hot conv_id cannot
-pin a partition. Any further redistribution (salting for a MERGE, bucket
-clustering for a partitioned write) is owned by the sink that needs it —
-adding one here would just be shuffled away again downstream.
+codegen; the UDF is one Arrow exchange; the only wide shuffle in the
+prepare stage is the bucket repartition, which the dedup window reuses via
+its superset partition key and ParquetStateSink's delta write consumes
+directly (repartition=False) — the whole epoch moves the batch across the
+network ONCE. The skew unit inside a bucket partition is still one
+(conv, turn); per-bucket volume skew is bounded by n_buckets sizing, and
+the Iceberg sink still salts its own MERGE source. Adding any other
+exchange here would just be shuffled away again downstream.
 """
 
 from __future__ import annotations
@@ -219,6 +222,14 @@ class CdcEngine:
         all). Idempotent like any epoch: replaying a committed epoch_id is
         a no-op."""
         from nifi_daffodil_spark.schemas import EVENT_SCHEMA
+
+        if self.sink.epoch_applied(epoch_id):
+            # the documented no-op must cost metadata, not a full quarantine
+            # scan + checkpoint write (process_batch would skip anyway, but
+            # only after the eager localCheckpoint below materialized)
+            st = EpochStats(epoch=epoch_id, skipped=True)
+            self.stats.append(st)
+            return st
 
         q = self.sink.read_quarantine()
         if epochs is not None:

@@ -124,14 +124,13 @@ def asof_join(
         "_m", F.when(F.col(ts).isNotNull(), F.col("_m"))
     )
     if tolerance is not None:
-        # NTZ-safe exact micros compare (ANSI forbids a direct ntz->long
-        # cast; ntz->timestamp->micros is exact and the UTC offsets cancel
-        # in the difference)
+        # exact micros gap via timestampdiff: pure timestamp arithmetic,
+        # no session-timezone dependence (the previous ntz->timestamp->
+        # unix_micros casts applied the session offset per-value, so two
+        # timestamps straddling a DST change in a non-UTC session would
+        # shift the gap by the offset delta)
         tol_us = int(round(float(tolerance) * 1_000_000))
-        gap = F.abs(
-            F.unix_micros(F.col(ts).cast("timestamp"))
-            - F.unix_micros(F.col("_m._rts").cast("timestamp"))
-        )
+        gap = F.abs(F.expr(f"timestampdiff(MICROSECOND, _m._rts, {ts})"))
         matched = matched.withColumn(
             "_m", F.when(gap <= F.lit(tol_us), F.col("_m"))
         )

@@ -456,7 +456,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "minhash",
-    threshold: float = 0.5,
+    threshold: float | None = None,
     n_hashes: int = 16,
     max_bucket_size: int | None = 64,
     checkpoint_drops: bool = False,
@@ -503,17 +503,25 @@ def dedup_corpus(
             text_col,
             n_hashes=n_hashes,
             rows_per_band=1,
-            threshold=threshold,
+            threshold=0.5 if threshold is None else threshold,
             max_bucket_size=max_bucket_size,
         ).select("d1", "d2")
         drops = resolve_keepers(pairs).filter(F.col("is_dup") == 1)
     elif method == "simhash":
         # 64-bit SimHash, hamming <= max_hamming via pigeonhole banding —
         # O(n) blocking; catches boilerplate-style near-dups MinHash's
-        # Jaccard threshold can miss. threshold is reused as max_hamming
-        # when integral (CLI surfaces --threshold for both methods).
+        # Jaccard threshold can miss. threshold is the integer hamming
+        # bound here (default 3); the 4x16-bit banding only GUARANTEES
+        # recall for hamming <= 3 (pigeonhole), so larger bounds are
+        # rejected instead of silently under-recalling.
+        max_hamming = 3 if threshold is None else threshold
+        if max_hamming != int(max_hamming) or not 0 <= int(max_hamming) <= 3:
+            raise ValueError(
+                "simhash threshold is the max hamming distance: an integer "
+                f"in [0, 3] (4-band blocking guarantee), got {threshold!r}"
+            )
         pairs = simhash64_near_pairs(
-            df, id_col, text_col, max_hamming=int(threshold)
+            df, id_col, text_col, max_hamming=int(max_hamming)
         ).select("d1", "d2")
         drops = resolve_keepers(pairs).filter(F.col("is_dup") == 1)
     else:

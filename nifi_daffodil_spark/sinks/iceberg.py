@@ -198,13 +198,43 @@ def time_travel_sql(table: str, snapshot_id: int) -> str:
 def incremental_read_options(
     start_snapshot_id: int, end_snapshot_id: int | None = None
 ) -> dict[str, str]:
-    """Reader options for Iceberg incremental consumption: appended rows in
-    (start_snapshot, end_snapshot] — the catalog-side analog of
-    ParquetStateSink.read_changes. Pure builder, golden-tested."""
+    """Reader options for Iceberg APPEND-ONLY incremental consumption:
+    appended rows in (start_snapshot, end_snapshot]. Only valid on tables
+    whose commits are all appends (this sink's quarantine and lineage side
+    tables) — Spark's incremental scan REJECTS overwrite snapshots, which
+    is what MERGE INTO produces on the main table; use changelog_sql for
+    that. Pure builder, golden-tested."""
     opts = {"start-snapshot-id": str(int(start_snapshot_id))}
     if end_snapshot_id is not None:
         opts["end-snapshot-id"] = str(int(end_snapshot_id))
     return opts
+
+
+def changelog_sql(
+    table: str,
+    start_snapshot_id: int,
+    end_snapshot_id: int | None = None,
+    view: str = "cdc_changes",
+) -> list[str]:
+    """Row-level change feed over a MERGE-written table: the
+    create_changelog_view procedure computes per-snapshot diffs (INSERT /
+    DELETE / UPDATE_BEFORE / UPDATE_AFTER in `_change_type`) including the
+    OVERWRITE snapshots MERGE INTO commits — the surface the plain
+    start-snapshot-id incremental scan cannot serve. Returns [CALL, SELECT];
+    pure builder, golden-tested like merge_sql."""
+    if "." not in table:
+        raise ValueError(
+            f"changelog read needs a catalog-qualified table, got {table!r}"
+        )
+    catalog, rest = table.split(".", 1)
+    opts = [f"'start-snapshot-id','{int(start_snapshot_id)}'"]
+    if end_snapshot_id is not None:
+        opts.append(f"'end-snapshot-id','{int(end_snapshot_id)}'")
+    call = (
+        f"CALL {catalog}.system.create_changelog_view(table => '{rest}', "
+        f"options => map({', '.join(opts)}), changelog_view => '{view}')"
+    )
+    return [call, f"SELECT * FROM {view}"]
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -357,9 +387,13 @@ class IcebergMergeSink(TranscriptSink):
     def read_changes(
         self, after_epoch: int, to_epoch: int | None = None
     ) -> DataFrame:
-        """Incremental consumption: rows appended by epochs in
+        """Incremental consumption: the row-level change feed for epochs in
         (after_epoch, to_epoch], resolved through the engine.epoch snapshot
-        summary property and Iceberg's incremental read options."""
+        summary property and the changelog view procedure. NOT the plain
+        start-snapshot-id incremental scan: MERGE INTO commits OVERWRITE
+        snapshots, which that scan rejects outright and whose rewritten
+        rows it could never surface; the changelog view diffs them
+        properly (`_change_type` column)."""
 
         def _snap(epoch: int) -> int:
             rows = self.spark.sql(
@@ -371,14 +405,13 @@ class IcebergMergeSink(TranscriptSink):
                 )
             return rows[0]["snapshot_id"]
 
-        opts = incremental_read_options(
+        call, select = changelog_sql(
+            self.table,
             _snap(after_epoch),
             _snap(to_epoch) if to_epoch is not None else None,
         )
-        reader = self.spark.read.format("iceberg")
-        for k, v in opts.items():
-            reader = reader.option(k, v)
-        return reader.load(self.table)
+        self.spark.sql(call)
+        return self.spark.sql(select)
 
     def read_quarantine(self) -> DataFrame:
         return self.spark.table(f"{self.table}_quarantine")

@@ -543,7 +543,12 @@ class ParquetStateSink(TranscriptSink):
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return self._fold(df) if len(parts) > 1 else df
+        if len(parts) > 1:
+            df = self._fold(df)
+        # pin the output columns: partition discovery appends a `bucket`
+        # column the empty-range branch doesn't have — consumers get ONE
+        # stable schema either way
+        return df.select([f.name for f in _FILE_SCHEMA.fields])
 
     def read_quarantine(self) -> DataFrame:
         qdir = os.path.join(self.root, "quarantine")

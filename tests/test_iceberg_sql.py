@@ -284,3 +284,21 @@ def test_incremental_read_options_golden():
         "start-snapshot-id": "111",
         "end-snapshot-id": "222",
     }
+
+
+def test_changelog_sql_golden():
+    from nifi_daffodil_spark.sinks.iceberg import changelog_sql
+
+    call, select = changelog_sql("lake.db.transcripts", 111, 222)
+    assert call == (
+        "CALL lake.system.create_changelog_view(table => 'db.transcripts', "
+        "options => map('start-snapshot-id','111', 'end-snapshot-id','222'), "
+        "changelog_view => 'cdc_changes')"
+    )
+    assert select == "SELECT * FROM cdc_changes"
+    # open-ended range: no end-snapshot-id entry
+    call2, _ = changelog_sql("lake.db.transcripts", 111)
+    assert "end-snapshot-id" not in call2
+    import pytest
+    with pytest.raises(ValueError, match="catalog-qualified"):
+        changelog_sql("bare", 1)
