@@ -121,6 +121,18 @@ def evolve_schema_ddl(table_cols: dict[str, str], batch_schema) -> list[str]:
     return stmts
 
 
+def _split_catalog(table: str, what: str) -> tuple[str, str]:
+    """(catalog, rest) from a catalog-qualified name; procedures CALL into
+    a specific catalog, so a bare table name is a usage error."""
+    if "." not in table:
+        raise ValueError(
+            f"{what} needs a catalog-qualified table (catalog.db.table), "
+            f"got {table!r}"
+        )
+    catalog, rest = table.split(".", 1)
+    return catalog, rest
+
+
 def maintenance_sql(
     table: str,
     retain_last: int | None = None,
@@ -142,12 +154,7 @@ def maintenance_sql(
     compacts all applied deletes). remove_orphans: clean files no
     snapshot references (crash leftovers).
     """
-    if "." not in table:
-        raise ValueError(
-            f"iceberg maintenance needs a catalog-qualified table "
-            f"(catalog.db.table), got {table!r}"
-        )
-    catalog, rest = table.split(".", 1)
+    catalog, rest = _split_catalog(table, "iceberg maintenance")
     side = [rest, f"{rest}_quarantine", f"{rest}_lineage"]
     stmts = [
         f"CALL {catalog}.system.rewrite_data_files(table => '{rest}', "
@@ -222,11 +229,7 @@ def changelog_sql(
     OVERWRITE snapshots MERGE INTO commits — the surface the plain
     start-snapshot-id incremental scan cannot serve. Returns [CALL, SELECT];
     pure builder, golden-tested like merge_sql."""
-    if "." not in table:
-        raise ValueError(
-            f"changelog read needs a catalog-qualified table, got {table!r}"
-        )
-    catalog, rest = table.split(".", 1)
+    catalog, rest = _split_catalog(table, "changelog read")
     opts = [f"'start-snapshot-id','{int(start_snapshot_id)}'"]
     if end_snapshot_id is not None:
         opts.append(f"'end-snapshot-id','{int(end_snapshot_id)}'")
@@ -367,18 +370,21 @@ class IcebergMergeSink(TranscriptSink):
         # engine.epoch property (or _last_snapshot_id() for ad-hoc checks)
         return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id}
 
+    def _snapshot_for_epoch(self, epoch_id: int) -> int:
+        rows = self.spark.sql(
+            snapshot_for_epoch_sql(self.table, epoch_id)
+        ).collect()
+        if not rows:
+            raise LookupError(
+                f"no Iceberg snapshot carries engine.epoch={epoch_id} "
+                "(never committed, or expired by expire_snapshots)"
+            )
+        return rows[0]["snapshot_id"]
+
     def read_transcripts(self, as_of_epoch: int | None = None) -> DataFrame:
         if as_of_epoch is not None:
-            rows = self.spark.sql(
-                snapshot_for_epoch_sql(self.table, as_of_epoch)
-            ).collect()
-            if not rows:
-                raise LookupError(
-                    f"no Iceberg snapshot carries engine.epoch={as_of_epoch} "
-                    "(never committed, or expired by expire_snapshots)"
-                )
             return self.spark.sql(
-                time_travel_sql(self.table, rows[0]["snapshot_id"])
+                time_travel_sql(self.table, self._snapshot_for_epoch(as_of_epoch))
             )
         return self.spark.table(self.table).select(
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
@@ -394,21 +400,10 @@ class IcebergMergeSink(TranscriptSink):
         snapshots, which that scan rejects outright and whose rewritten
         rows it could never surface; the changelog view diffs them
         properly (`_change_type` column)."""
-
-        def _snap(epoch: int) -> int:
-            rows = self.spark.sql(
-                snapshot_for_epoch_sql(self.table, epoch)
-            ).collect()
-            if not rows:
-                raise LookupError(
-                    f"no Iceberg snapshot carries engine.epoch={epoch}"
-                )
-            return rows[0]["snapshot_id"]
-
         call, select = changelog_sql(
             self.table,
-            _snap(after_epoch),
-            _snap(to_epoch) if to_epoch is not None else None,
+            self._snapshot_for_epoch(after_epoch),
+            self._snapshot_for_epoch(to_epoch) if to_epoch is not None else None,
         )
         self.spark.sql(call)
         return self.spark.sql(select)

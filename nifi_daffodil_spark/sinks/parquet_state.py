@@ -404,19 +404,25 @@ class ParquetStateSink(TranscriptSink):
             )
         os.replace(tmp, self._layout_path(epoch_id))
 
+    def _load_layout(self, epoch_id: int) -> dict | None:
+        """Manifest-shaped {"buckets": ...} from an epoch's layout file, or
+        None if no layout exists (never committed / pruned)."""
+        path = self._layout_path(epoch_id)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return {"buckets": json.load(f)["buckets"]}
+
     def _manifest_as_of(self, epoch_id: int) -> dict:
         """Manifest-shaped view of the table AS OF the given epoch's commit,
         loaded from its layout file. Raises LookupError if the snapshot was
         never committed or has been expired by vacuum()."""
-        path = self._layout_path(epoch_id)
-        if not os.path.exists(path):
+        m = self._load_layout(epoch_id)
+        if m is None:
             raise LookupError(
                 f"no snapshot layout for epoch {epoch_id}: either the epoch "
                 "was never committed to this table, or vacuum() expired it"
             )
-        with open(path) as f:
-            layout = json.load(f)
-        m = {"buckets": layout["buckets"]}
         missing = {
             d
             for b in m["buckets"]
@@ -597,11 +603,9 @@ class ParquetStateSink(TranscriptSink):
         }
         recent_epochs = sorted((int(e) for e in m["epochs"]), reverse=True)[:keep_last]
         for e in recent_epochs:
-            path = self._layout_path(e)
-            if not os.path.exists(path):
+            lm = self._load_layout(e)
+            if lm is None:
                 continue
-            with open(path) as f:
-                lm = {"buckets": json.load(f)["buckets"]}
             referenced |= {
                 d for b in lm["buckets"] for d in self._bucket_dirs(lm, int(b))
             }
