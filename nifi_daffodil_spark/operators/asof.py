@@ -130,7 +130,9 @@ def asof_join(
         # timestamps straddling a DST change in a non-UTC session would
         # shift the gap by the offset delta)
         tol_us = int(round(float(tolerance) * 1_000_000))
-        gap = F.abs(F.expr(f"timestampdiff(MICROSECOND, _m._rts, {ts})"))
+        # the ts name is caller-supplied: backtick-quote it so names needing
+        # quoting (spaces, dashes, reserved words) parse — F.expr sees raw SQL
+        gap = F.abs(F.expr(f"timestampdiff(MICROSECOND, _m._rts, `{ts}`)"))
         matched = matched.withColumn(
             "_m", F.when(gap <= F.lit(tol_us), F.col("_m"))
         )

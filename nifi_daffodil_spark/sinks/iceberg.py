@@ -252,14 +252,15 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class IcebergMergeSink(TranscriptSink):
-    """SINGLE-WRITER sink. Exactly-once relies on the in-memory applied-epoch
-    set (one startup snapshot scan, then maintained per commit); a second
-    concurrent writer's commits are invisible to ``epoch_applied``, so two
-    writers on the same table could both apply the same epoch. Run exactly
-    one CDC driver per table — the same contract as a Structured Streaming
-    checkpoint dir. (The MERGE's ``s.lsn > t.lsn`` guard makes a violation
-    produce duplicates-of-work, not wrong final rows, but the lineage /
-    quarantine side tables would double up.)"""
+    """Intended as a SINGLE-WRITER sink (one CDC driver per table — the same
+    contract as a Structured Streaming checkpoint dir), but the invariant is
+    ENFORCED, not assumed: ``epoch_applied`` falls back to the snapshot
+    summary log on an in-memory cache miss, so a second writer's commit of
+    the same epoch is detected and skipped rather than double-applied. Two
+    drivers racing the SAME not-yet-committed epoch can still both MERGE
+    (Iceberg's optimistic commit serializes them; the ``s.lsn > t.lsn``
+    guard makes the loser's replay produce duplicate work, not wrong rows,
+    and the epoch-partitioned side tables overwrite rather than double up)."""
 
     def __init__(
         self,
@@ -294,7 +295,21 @@ class IcebergMergeSink(TranscriptSink):
         return {r["e"] for r in rows if r["e"] is not None}
 
     def epoch_applied(self, epoch_id: int) -> bool:
-        return str(epoch_id) in self._applied
+        """True if this epoch's MERGE already committed. On a cache MISS the
+        snapshot summary log is re-queried (one bounded metadata lookup per
+        new epoch) — this turns the single-writer assumption into an
+        enforced invariant: a concurrent writer's commit of the same epoch
+        is detected and skipped instead of double-applied (the in-memory
+        set alone can only see this process's own commits)."""
+        if str(epoch_id) in self._applied:
+            return True
+        rows = self.spark.sql(
+            snapshot_for_epoch_sql(self.table, epoch_id)
+        ).collect()
+        if rows:
+            self._applied.add(str(epoch_id))
+            return True
+        return False
 
     def _last_snapshot_id(self) -> str | None:
         rows = self.spark.sql(
@@ -363,7 +378,14 @@ class IcebergMergeSink(TranscriptSink):
         self.spark.conf.set(
             f"spark.wap.snapshot-property.{EPOCH_PROP}", str(epoch_id)
         )
-        self.spark.sql(merge_sql(self.table))
+        try:
+            self.spark.sql(merge_sql(self.table))
+        finally:
+            # unset immediately: a later non-engine write in the same session
+            # would otherwise commit a snapshot stamped with this stale epoch
+            # id, and snapshot_for_epoch_sql's latest-wins ORDER BY would
+            # resolve time-travel / changelog ranges to that wrong snapshot
+            self.spark.conf.unset(f"spark.wap.snapshot-property.{EPOCH_PROP}")
         self._applied.add(str(epoch_id))
         # NOTE: no per-epoch .snapshots metadata query here — the physical
         # Iceberg snapshot for this epoch is discoverable via the summary's

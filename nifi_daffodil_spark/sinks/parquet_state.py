@@ -416,12 +416,19 @@ class ParquetStateSink(TranscriptSink):
     def _manifest_as_of(self, epoch_id: int) -> dict:
         """Manifest-shaped view of the table AS OF the given epoch's commit,
         loaded from its layout file. Raises LookupError if the snapshot was
-        never committed or has been expired by vacuum()."""
+        never committed or has been expired by vacuum().
+
+        The layout file is written BEFORE the manifest swap (the atomic
+        commit point), so a crash between them leaves a layout for an epoch
+        that never committed; trusting it would serve the failed commit's
+        delta as committed state. The layout is therefore only honored when
+        the CURRENT manifest's epochs map also records the epoch."""
         m = self._load_layout(epoch_id)
-        if m is None:
+        if m is None or str(int(epoch_id)) not in self._read_manifest()["epochs"]:
             raise LookupError(
-                f"no snapshot layout for epoch {epoch_id}: either the epoch "
-                "was never committed to this table, or vacuum() expired it"
+                f"no committed snapshot for epoch {epoch_id}: either the "
+                "epoch never committed to this table (e.g. a crash between "
+                "layout write and manifest swap), or vacuum() expired it"
             )
         missing = {
             d

@@ -302,3 +302,68 @@ def test_changelog_sql_golden():
     import pytest
     with pytest.raises(ValueError, match="catalog-qualified"):
         changelog_sql("bare", 1)
+
+
+class _StubSpark:
+    """Minimal SparkSession stand-in: records sql() calls and returns a
+    canned snapshot-summary answer (no Iceberg runtime in this sandbox)."""
+
+    def __init__(self, summary_rows):
+        self.summary_rows = summary_rows
+        self.sql_calls = []
+
+    def sql(self, q):
+        self.sql_calls.append(" ".join(q.split()))
+
+        class _R:
+            def __init__(self, rows):
+                self._rows = rows
+
+            def collect(self):
+                return self._rows
+
+        return _R(self.summary_rows)
+
+
+def _bare_sink(stub):
+    from nifi_daffodil_spark.sinks.iceberg import IcebergMergeSink
+
+    sink = IcebergMergeSink.__new__(IcebergMergeSink)
+    sink.spark = stub
+    sink.table = "lake.db.t"
+    sink._applied = set()
+    return sink
+
+
+def test_epoch_applied_cache_hit_skips_metadata_query():
+    stub = _StubSpark(summary_rows=[])
+    sink = _bare_sink(stub)
+    sink._applied.add("7")
+    assert sink.epoch_applied(7) is True
+    assert stub.sql_calls == []  # no snapshot scan on a cache hit
+
+
+def test_epoch_applied_detects_concurrent_writer_commit():
+    """Single-writer invariant ENFORCED: a cache miss re-checks the snapshot
+    summary log; a second writer's commit of the same epoch is detected
+    (and cached) instead of double-applied, and apply_batch skips."""
+
+    class _Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    stub = _StubSpark(summary_rows=[_Row({"snapshot_id": 123})])
+    sink = _bare_sink(stub)
+    assert sink.epoch_applied(5) is True
+    assert "summary['engine.epoch'] = '5'" in stub.sql_calls[0]
+    assert "5" in sink._applied  # cached: next check is metadata-free
+    # apply_batch never touches the batch on the skip path
+    out = sink.apply_batch(batch=None, epoch_id=5)
+    assert out == {"skipped": True, "epoch": 5}
+
+
+def test_epoch_applied_false_when_no_snapshot_carries_epoch():
+    stub = _StubSpark(summary_rows=[])
+    sink = _bare_sink(stub)
+    assert sink.epoch_applied(5) is False
+    assert "5" not in sink._applied

@@ -131,3 +131,23 @@ def test_read_changes_expired_after_vacuum(spark, tmp_path):
     assert eng.sink.vacuum(keep_last=2)
     with pytest.raises(LookupError, match="re-bootstrap"):
         eng.sink.read_changes(after_epoch=-1, to_epoch=1).collect()
+
+
+def test_orphan_layout_from_torn_commit_is_not_trusted(spark, tmp_path):
+    """A crash between _write_layout and _write_manifest (the atomic commit
+    point) leaves a layout file for an epoch that never committed. Time
+    travel must refuse it — serving the failed commit's delta as committed
+    state would break read-committed semantics — and expired_layouts()
+    must list it for cleanup."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS)]), 0)
+    sink = eng.sink
+    # simulate the torn commit: layout exists, manifest never swapped
+    sink._write_layout(99, "snap-torn", sink._read_manifest()["buckets"])
+    import pytest as _pytest
+    with _pytest.raises(LookupError, match="never committed"):
+        sink.read_transcripts(as_of_epoch=99).collect()
+    assert 99 in sink.expired_layouts()
+    # the committed epoch is unaffected
+    assert _texts(sink.read_transcripts(as_of_epoch=0)) == {("a", 0): "v1"}

@@ -633,3 +633,24 @@ def test_asof_join_null_right_ts_never_matches(spark):
     )
     out = asof_join(left, right, right_cols={"rid": "rid_r"}).collect()
     assert len(out) == 1 and out[0]["rid_r"] is None
+
+
+def test_asof_tolerance_handles_quoted_ts_column_name(spark):
+    """The tolerance gap expression interpolates the caller's ts column name
+    into raw SQL — a name needing quoting (space, reserved word) must still
+    parse (regression: the f-string form broke what F.col(ts) handled)."""
+    import datetime as dt
+
+    from nifi_daffodil_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(2))], "lid long, user_id long, `event ts` timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(1))], "rid long, user_id long, `event ts` timestamp"
+    )
+    out = asof_join(
+        left, right, ts="event ts", right_cols={"rid": "rid_r"}, tolerance=120
+    ).collect()
+    assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 100)]
