@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
                          "rows committed after this epoch (parquet: NET "
                          "per-key rows from the delta dirs; iceberg: "
                          "changelog view)")
+    ap.add_argument("--changelog-since", type=int, default=None,
+                    help="--mode read: before/after-image changelog — count "
+                         "change rows (I/U/D with old+new images) committed "
+                         "after this epoch (parquet sink only; pass -1 for "
+                         "since-bootstrap)")
     ap.add_argument("--conv-id", default=None,
                     help="--mode read: point lookup — count one "
                          "conversation's turns via bucket-pruned scan "
@@ -132,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--as-of-epoch only applies to --mode read")
     if args.changes_since is not None and args.mode != "read":
         ap.error("--changes-since only applies to --mode read")
+    if args.changelog_since is not None and (
+        args.mode != "read" or args.sink != "parquet"
+    ):
+        ap.error("--changelog-since needs --mode read and the parquet sink")
     if args.conv_id is not None and (
         args.mode != "read" or args.sink != "parquet"
     ):
@@ -206,6 +215,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.changes_since is not None
             else None
         )
+        changelog = (
+            {
+                r["change"]: r["n"]
+                for r in sink.read_changelog(after_epoch=args.changelog_since)
+                .groupBy("change").count().withColumnRenamed("count", "n")
+                .collect()
+            }
+            if args.changelog_since is not None
+            else None
+        )
     except LookupError as e:  # expired/unknown snapshot: clean CLI error
         print(json.dumps({"error": str(e)}))
         spark.stop()
@@ -225,6 +244,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.changes_since is not None:
         summary["changes_since"] = args.changes_since
         summary["change_rows"] = n_changes
+    if args.changelog_since is not None:
+        summary["changelog_since"] = args.changelog_since
+        summary["changelog_rows"] = changelog
     if args.conv_id is not None:
         summary["conv_id"] = args.conv_id
         summary["conv_rows"] = sink.read_conversation(args.conv_id).count()

@@ -1836,6 +1836,82 @@ FROM events GROUP BY event_type
 """
 
 
+def q_cdc_changelog(spark, sf_dir):
+    """Before/after-image CDC changelog (Debezium envelope): per key whose
+    visible state changed across the epoch boundary lsn=5000, emit change
+    I/U/D plus the full old and new images. Key := user_id, tombstone :=
+    last event_type 'error' (the q_cdc_delete_apply convention); old state
+    = LWW before the boundary, new state = LWW over everything.
+
+    Spark-first shape: ONE grouped aggregation computes both images via
+    max_by (old side condition-masked), so the whole changelog costs a
+    single partial-aggregated shuffle keyed by user_id — no self-join of
+    two as-of states, no second exchange. The sink-side equivalent over
+    real epochs is ParquetStateSink.read_changelog (join of the range's
+    delta dirs against the as-of state of only the touched buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    lt = F.col("event_id") < 5000
+    img = F.struct("event_type", "value", "event_id")
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(img, "event_id").alias("_new"),
+            F.max_by(F.when(lt, img), F.when(lt, F.col("event_id"))).alias("_old"),
+            F.max(F.when(~lt, 1).otherwise(0)).alias("_touched"),
+        )
+        .filter(F.col("_touched") == 1)
+    )
+    old_vis = F.col("_old").isNotNull() & (F.col("_old.event_type") != "error")
+    new_vis = F.col("_new.event_type") != "error"
+    change = (
+        F.when(old_vis & new_vis, "U")
+        .when(old_vis & ~new_vis, "D")
+        .when(~old_vis & new_vis, "I")
+    )
+    return (
+        g.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            "user_id",
+            "change",
+            F.when(old_vis, F.col("_old.event_id")).alias("old_lsn"),
+            F.when(old_vis, F.col("_old.event_type")).alias("old_type"),
+            F.when(old_vis, F.col("_old.value")).alias("old_value"),
+            F.when(new_vis, F.col("_new.event_id")).alias("new_lsn"),
+            F.when(new_vis, F.col("_new.event_type")).alias("new_type"),
+            F.when(new_vis, F.col("_new.value")).alias("new_value"),
+        )
+    )
+
+
+O_CDC_CHANGELOG = """
+WITH g AS (
+  SELECT user_id,
+         max(event_id) AS n_lsn,
+         arg_max(event_type, event_id) AS n_type,
+         arg_max(value, event_id) AS n_value,
+         max(event_id) FILTER (WHERE event_id < 5000) AS o_lsn,
+         arg_max(event_type, event_id) FILTER (WHERE event_id < 5000) AS o_type,
+         arg_max(value, event_id) FILTER (WHERE event_id < 5000) AS o_value
+  FROM events GROUP BY user_id
+  HAVING max(CASE WHEN event_id >= 5000 THEN 1 ELSE 0 END) = 1),
+v AS (
+  SELECT *, (o_lsn IS NOT NULL AND o_type <> 'error') AS o_vis,
+         (n_type <> 'error') AS n_vis
+  FROM g)
+SELECT user_id,
+       CASE WHEN o_vis AND n_vis THEN 'U'
+            WHEN o_vis THEN 'D' ELSE 'I' END AS change,
+       CASE WHEN o_vis THEN o_lsn END AS old_lsn,
+       CASE WHEN o_vis THEN o_type END AS old_type,
+       CASE WHEN o_vis THEN o_value END AS old_value,
+       CASE WHEN n_vis THEN n_lsn END AS new_lsn,
+       CASE WHEN n_vis THEN n_type END AS new_type,
+       CASE WHEN n_vis THEN n_value END AS new_value
+FROM v WHERE o_vis OR n_vis
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1893,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pivot": q_cdc_pivot,
         "cdc_rolling_window": q_cdc_rolling_window,
         "agg_count_distinct": q_agg_count_distinct,
+        "cdc_changelog": q_cdc_changelog,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -1951,5 +2028,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pivot": O_CDC_PIVOT,
         "cdc_rolling_window": O_CDC_ROLLING,
         "agg_count_distinct": O_AGG_COUNT_DISTINCT,
+        "cdc_changelog": O_CDC_CHANGELOG,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

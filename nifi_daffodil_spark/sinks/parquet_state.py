@@ -563,6 +563,101 @@ class ParquetStateSink(TranscriptSink):
         # stable schema either way
         return df.select([f.name for f in _FILE_SCHEMA.fields])
 
+    def read_changelog(
+        self, after_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Debezium-style before/after-image change feed for epochs in
+        (after_epoch, to_epoch]: one row per key whose visible state changed,
+        with `change` in ('I','U','D'), `before` = the full old row image as
+        of after_epoch's commit (null on insert) and `after` = the new image
+        (null on delete) — the envelope downstream consumers (cache
+        invalidation, search indexers, replication) expect, which the net
+        row set from read_changes cannot express (Iceberg analog:
+        create_changelog_view's UPDATE_BEFORE/UPDATE_AFTER rows,
+        sinks/iceberg.py changelog_sql).
+
+        Cost is O(changed data): the range's delta dirs (read_changes) joined
+        against the as-of state of ONLY the buckets the range touched — the
+        per-epoch manifest records them — never the table. after_epoch
+        earlier than the first commit (e.g. -1) means "since bootstrap":
+        every visible key is an insert. Raises LookupError if the as-of
+        snapshot or a range delta was vacuumed.
+
+        Semantics match the MERGE guard: a range row whose final lsn does
+        not exceed the old image's lsn never applied (late fenced replay)
+        and emits nothing; a delete of a key that was not visible (never
+        existed, or already tombstoned) emits nothing."""
+        delta = self.read_changes(after_epoch, to_epoch)
+        m = self._read_manifest()
+        epochs = sorted(int(e) for e in m["epochs"])
+        if to_epoch is None:
+            to_epoch = epochs[-1] if epochs else after_epoch
+        touched = sorted({
+            int(b)
+            for e in epochs
+            if after_epoch < e <= to_epoch
+            for b in m["epochs"][str(e)].get("buckets", [])
+        })
+        if str(int(after_epoch)) in m["epochs"]:
+            lm = self._manifest_as_of(after_epoch)
+            old = self._read_buckets(
+                lm, [b for b in touched if str(b) in lm["buckets"]]
+            )
+            if old is not None:
+                old = self._fold(old)
+        elif epochs and after_epoch < epochs[0]:
+            old = None  # bootstrap: the table was empty before the first commit
+        else:
+            # unknown/expired as-of point — same contract as time travel
+            self._manifest_as_of(after_epoch)  # raises LookupError
+            old = None  # unreachable
+        image_cols = [c for c in _STATE_COLS if c not in ("conv_id", "turn_idx")]
+        return self._changelog_from(delta, old, image_cols)
+
+    def _changelog_from(
+        self, delta: DataFrame, old: DataFrame | None, image_cols: list[str]
+    ) -> DataFrame:
+        new_img = F.struct(*[delta[c] for c in image_cols])
+        d = delta.select(
+            "conv_id", "turn_idx",
+            delta["op"].alias("_new_op"), delta["lsn"].alias("_new_lsn"),
+            new_img.alias("_new"),
+        )
+        img_type = d.schema["_new"].dataType
+        if old is None:
+            j = d.select(
+                "*",
+                F.lit(None).cast("string").alias("_old_op"),
+                F.lit(None).cast("long").alias("_old_lsn"),
+                F.lit(None).cast(img_type).alias("_old"),
+            )
+        else:
+            o = old.select(
+                "conv_id", "turn_idx",
+                old["op"].alias("_old_op"), old["lsn"].alias("_old_lsn"),
+                F.struct(*[old[c] for c in image_cols]).alias("_old"),
+            )
+            j = d.join(o, ["conv_id", "turn_idx"], "left")
+        # MERGE-guard fence: a range row that lost to the existing state
+        # (final range lsn <= old lsn) never applied — not a change
+        j = j.filter(F.col("_old_lsn").isNull() | (F.col("_new_lsn") > F.col("_old_lsn")))
+        old_vis = F.col("_old_op").isNotNull() & (F.col("_old_op") != "D")
+        new_vis = F.col("_new_op") != "D"
+        change = (
+            F.when(old_vis & new_vis, "U")
+            .when(old_vis & ~new_vis, "D")
+            .when(~old_vis & new_vis, "I")
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                "conv_id", "turn_idx", "change",
+                F.when(old_vis, F.col("_old")).alias("before"),
+                F.when(new_vis, F.col("_new")).alias("after"),
+            )
+        )
+
     def read_quarantine(self) -> DataFrame:
         qdir = os.path.join(self.root, "quarantine")
         if not any(n.endswith(".parquet") for _, _, fs in os.walk(qdir) for n in fs):

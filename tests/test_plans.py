@@ -190,3 +190,15 @@ def test_pivot_single_aggregation(spark):
 def test_rolling_window_single_exchange(spark):
     plan = _plan(dq.q_cdc_rolling_window(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_changelog_single_aggregation_exchange(spark):
+    """The before/after-image changelog computes BOTH images in one grouped
+    aggregation (max_by with a condition-masked old side): exactly one
+    exchange keyed by user_id, partial aggregation below it, and no join —
+    the two-as-of-states self-join shape would shuffle the table twice."""
+    plan = _plan(dq.q_cdc_changelog(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert "Join" not in plan

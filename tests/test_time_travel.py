@@ -151,3 +151,64 @@ def test_orphan_layout_from_torn_commit_is_not_trusted(spark, tmp_path):
     assert 99 in sink.expired_layouts()
     # the committed epoch is unaffected
     assert _texts(sink.read_transcripts(as_of_epoch=0)) == {("a", 0): "v1"}
+
+
+def test_changelog_before_after_images(spark, tmp_path):
+    """Debezium-style envelope: per changed key, change I/U/D with the full
+    old/new row images; fenced late rows and deletes of dead keys emit
+    nothing; after_epoch before the first commit means since-bootstrap."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(10, "I", "a", 0, "user", "v1", None, TS),
+                        (11, "I", "b", 0, "user", "b-v1", None, TS)]), 0)
+    eng.process_batch(
+        _events(spark, [(20, "U", "a", 0, "user", "v2", "calc", TS),
+                        (21, "D", "b", 0, None, None, None, TS),
+                        (22, "I", "c", 0, "assistant", "c-v1", None, TS),
+                        # fenced: lsn 5 < a's existing 10 — never applies
+                        (5, "U", "a", 1, "user", "late", None, TS),
+                        # delete of a key that never existed — no visible change
+                        (23, "D", "zz", 0, None, None, None, TS)]), 1)
+
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in eng.sink.read_changelog(after_epoch=0).collect()
+    }
+    assert set(rows) == {("a", 0), ("b", 0), ("c", 0), ("a", 1)}
+    a = rows[("a", 0)]
+    assert a["change"] == "U"
+    assert a["before"]["text"] == "v1" and a["before"]["lsn"] == 10
+    assert a["after"]["text"] == "v2" and a["after"]["tool"] == "calc"
+    b = rows[("b", 0)]
+    assert b["change"] == "D"
+    assert b["before"]["text"] == "b-v1" and b["after"] is None
+    c = rows[("c", 0)]
+    assert c["change"] == "I"
+    assert c["before"] is None and c["after"]["text"] == "c-v1"
+    # (a,1) did not exist before, so even the fenced-lsn row is its insert
+    assert rows[("a", 1)]["change"] == "I"
+
+    # bootstrap: everything visible after epoch 0 is an insert
+    boot = {
+        (r["conv_id"], r["turn_idx"]): r["change"]
+        for r in eng.sink.read_changelog(after_epoch=-1, to_epoch=0).collect()
+    }
+    assert boot == {("a", 0): "I", ("b", 0): "I"}
+
+    # unknown as-of point raises like time travel does
+    import pytest as _pytest
+    with _pytest.raises(LookupError):
+        eng.sink.read_changelog(after_epoch=7).collect()
+
+
+def test_changelog_fence_suppresses_lost_update(spark, tmp_path):
+    """A later epoch whose net row for a key carries a SMALLER lsn than the
+    old image (pure late replay) must emit no change row at all."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(100, "I", "k", 0, "user", "new", None, TS)]), 0)
+    eng.process_batch(
+        _events(spark, [(50, "U", "k", 0, "user", "stale", None, TS)]), 1)
+    assert eng.sink.read_changelog(after_epoch=0).count() == 0
+    # and the table still serves the fenced winner
+    assert _texts(eng.sink.read_transcripts()) == {("k", 0): "new"}
