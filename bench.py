@@ -26,11 +26,23 @@ The CDC section replays a deterministic synthetic WAL through the full
 engine (validate -> LWW dedup -> Arrow normalize UDF -> bucketed MERGE) at
 two parallelism levels (the sandbox proxy for N vs 4N executors,
 BASELINE.md) in fresh subprocesses, interleaved best-of-N, and emits its own
-defense: per-level parallel utilization (task-sec/wall/cores), per-core
-work (task-sec per million events), and a pure-compute scaling CONTROL
-(range -> xxhash64 chain -> sum, no IO) run at the same two levels. The
-control separates engine-plan quality from the host's syscall-interception
-tax (see BASELINE.md "sandbox scaling protocol").
+defense: per-level parallel utilization ("util" = task-sec/wall/cores),
+per-core work ("task_sec_per_m" = task-sec per million events), a
+pure-compute scaling CONTROL (range -> xxhash64 chain -> sum, no IO), and
+— round-4 verdict #1 — an IO-BEARING control (fixed parquet scan + full
+shuffle of the same ~600 B texts, no Python) interleaved with the CDC
+pairs. The two controls bracket the engine: pure-compute isolates JVM
+scaling, the IO control experiences the host's syscall-interception tax
+without any engine code, so a reader holding only the artifact can
+attribute a wall swing via:
+  io_tax_ratio        = control.scaling_eff / io_control.scaling_eff
+                        (~1 = clean host; >>1 = IO-bearing work is being
+                        throttled and CDC walls are weather, not engine)
+  task_sec_efficiency = lo_task_sec / hi_task_sec on identical CDC work
+                        (1.0 = no per-task inflation at higher
+                        parallelism — the weather-robust headline; on a
+                        real cluster this is what wall scaling becomes)
+Field glossary lives in BASELINE.md "sandbox scaling protocol".
 
 The scaling phase is budgeted to finish inside the driver's bench window
 (round-2 artifact was rc=124 — the evidence existed but timed out before
@@ -91,7 +103,17 @@ HEADLINE = [
     "cdc_pivot",
     "cdc_rolling_window",
     "agg_count_distinct",
+    # round-5 additions
+    "cdc_changelog",
 ]
+
+# Timed COLD (build + materialize in one measurement, no warm pass): the
+# corpus-dedup pipeline's iterative component closure localCheckpoints each
+# round at plan-BUILD time, so the warm+timed harness above would time
+# checkpoint re-reads, not the operator (same reason dedup_components is
+# excluded). A single cold timing tracks its real shuffle volume
+# round-over-round (round-4 verdict #6).
+COLD = ["dedup_corpus"]
 
 _CDC_WORKER = r"""
 import json, os, sys, time
@@ -189,6 +211,49 @@ spark.stop()
 """
 
 
+# IO-bearing weather control (round-4 verdict #1): fixed parquet scan +
+# full shuffle of the SAME ~600 B transcript texts the CDC job moves, no
+# Python workers, no engine code. Pure-compute control scaling healthy +
+# IO control scaling collapsed = the host is taxing concurrent IO/syscalls
+# (gVisor interception), and the CDC wall numbers are weather-bound; both
+# healthy + CDC collapsed would be an engine serialization. Work is fixed
+# (v0 segment files of the cached bench WAL), so wall at each level is
+# directly comparable.
+_IO_CONTROL_WORKER = r"""
+import glob, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from nifi_daffodil_spark.session import build_session
+from pyspark.sql import functions as F
+
+cores = {cores}
+wal = {wal!r}
+spark = build_session(app_name=f"io-control-{{cores}}", cores=cores,
+                      shuffle_partitions=max(cores * 2, 16))
+files = sorted(glob.glob(os.path.join(wal, "v0", "*.parquet")))
+df = spark.read.parquet(*files)
+
+def job():
+    return (df.repartition(max(cores * 2, 16), "conv_id")
+              .groupBy("conv_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.length("text")).alias("b"))
+              .agg(F.sum("n").alias("rows"), F.sum("b").alias("bytes"))
+              .collect())
+
+rows = int(job()[0]["rows"])  # warm: JIT + shuffle dirs + page cache
+walls = []
+for _ in range(2):
+    t0 = time.monotonic()
+    job()
+    walls.append(time.monotonic() - t0)
+wall = min(walls)
+print(json.dumps({{"cores": cores, "wall_sec": wall, "rows": rows,
+                  "rows_per_sec": rows / wall,
+                  "inner_walls": [round(w, 2) for w in walls]}}))
+spark.stop()
+"""
+
+
 def _bench_wal(n_events: int, text_len: int = 600) -> str:
     """Deterministic bench WAL (realistic ~text_len-byte turns), cached."""
     from nifi_daffodil_spark.fixtures.walgen import WalSpec, generate_wal
@@ -242,6 +307,13 @@ def _run_control_once(cores: int, rows: int) -> dict:
     )
 
 
+def _run_io_control_once(cores: int, wal: str) -> dict:
+    return _run_worker(
+        _IO_CONTROL_WORKER.format(repo=REPO, cores=cores, wal=wal),
+        f"io-control cores={cores}",
+    )
+
+
 def _final_line(result: dict) -> str:
     """Serialize a result line under the driver's tail-capture contract:
     target <= ~1.4 KB. Compact separators (no space after , and :) — still
@@ -250,7 +322,14 @@ def _final_line(result: dict) -> str:
     redundancy — BASELINE.md documents the fields)."""
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1400 and isinstance(result.get("cdc"), dict):
-        result["cdc"].pop("notes", None)
+        # fallback: shed the per-level "runs" counts (pure provenance —
+        # stderr carries every sample) before anything load-bearing
+        for v in result["cdc"].values():
+            if isinstance(v, dict):
+                v.pop("runs", None)
+                for vv in v.values():
+                    if isinstance(vv, dict):
+                        vv.pop("runs", None)
         line = json.dumps(result, separators=(",", ":"))
     return line
 
@@ -301,13 +380,17 @@ def main() -> int:
         _materialize(df)
         # 2 decimals: 10 ms resolution is plenty for ~0.2-2 s queries, and
         # the byte budget of the final line (<=1400, tail-capture contract)
-        # now carries 28 headline entries
+        # now carries 30+ headline entries
+        timings[name] = round(time.monotonic() - t0, 2)
+    for name in COLD:  # build+materialize in ONE cold measurement (see COLD)
+        t0 = time.monotonic()
+        _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 2)
     total = round(sum(timings.values()), 2)
     spark.stop()
 
     result = {
-        "metric": "headline query suite wall time + CDC MERGE-apply throughput",
+        "metric": "headline suite sec + CDC MERGE ev/s + scaling controls",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -326,32 +409,37 @@ def main() -> int:
         control_rows = int(os.environ.get("BENCH_CONTROL_ROWS", "1600000000"))
         factor = hi_cores / lo_cores
 
-        def _slim(sample: dict, rate_key: str) -> dict:
+        def _slim(sample: dict, rate_key: str | None) -> dict:
             """Compact per-level dict for the result LINE (numbers only —
-            full samples incl. every wall time go to stderr)."""
+            full samples incl. every wall time go to stderr). rate_key=None
+            (controls): wall_sec suffices, the work is fixed."""
             out = {"wall_sec": round(sample["wall_sec"], 2),
-                   rate_key: round(sample[rate_key], 1),
                    "runs": sample["runs"]}
+            if rate_key:
+                out[rate_key] = round(sample[rate_key], 1)
             if sample.get("parallel_utilization"):
-                out["parallel_utilization"] = round(
-                    sample["parallel_utilization"], 2
-                )
+                out["util"] = round(sample["parallel_utilization"], 2)
             return out
 
-        def _emit_cdc(c_lo_s, c_hi_s, lo_s, hi_s) -> None:
+        def _ctl_eff(lo_s, hi_s) -> float | None:
+            if not (lo_s and hi_s):
+                return None
+            lo, hi = _best_of(lo_s, hi_s)
+            return (lo["wall_sec"] / hi["wall_sec"]) / factor
+
+        def _emit_cdc(c_lo_s, c_hi_s, io_lo_s, io_hi_s, lo_s, hi_s) -> None:
             """Recompute the full cdc section from the samples gathered SO
             FAR and print an updated complete result line. Called after the
-            control and after every interleaved CDC pair, so a timeout at
-            any point leaves the newest line carrying everything that
-            finished (round-2 rc=124 lost the whole section). The line is
-            kept compact (round-3: the prose scaling_notes overflowed the
-            driver's tail capture) — protocol prose lives in BASELINE.md,
-            per-sample detail on stderr."""
-            cdc: dict = {
-                "wal_events": n_events,
-                "scaling_factor": factor,
-                "notes": "BASELINE.md#sandbox-scaling-protocol",
-            }
+            control and after every interleaved CDC/io-control pair, so a
+            timeout at any point leaves the newest line carrying everything
+            that finished (round-2 rc=124 lost the whole section). The line
+            is kept compact (round-3: the prose scaling_notes overflowed
+            the driver's tail capture) — field glossary + protocol prose
+            live in BASELINE.md, per-sample detail on stderr."""
+            # scaling factor is implied by the local{lo}/local{hi} keys;
+            # field glossary lives in BASELINE.md (no notes pointer — the
+            # line's 1.4 KB tail-capture budget is spent on numbers)
+            cdc: dict = {"wal_events": n_events}
             if c_lo_s and c_hi_s:
                 c_lo, c_hi = _best_of(c_lo_s, c_hi_s)
                 print(
@@ -363,12 +451,32 @@ def main() -> int:
                     file=sys.stderr, flush=True,
                 )
                 cdc["control"] = {
-                    f"local{lo_cores}": _slim(c_lo, "rows_per_sec"),
-                    f"local{hi_cores}": _slim(c_hi, "rows_per_sec"),
-                    "scaling_efficiency": round(
-                        (c_hi["rows_per_sec"] / c_lo["rows_per_sec"]) / factor, 3
-                    ),
+                    f"local{lo_cores}": _slim(c_lo, None),
+                    f"local{hi_cores}": _slim(c_hi, None),
+                    "scaling_efficiency": round(_ctl_eff(c_lo_s, c_hi_s), 3),
                 }
+            if io_lo_s and io_hi_s:
+                io_lo, io_hi = _best_of(io_lo_s, io_hi_s)
+                print(
+                    f"# io-control samples local{lo_cores}="
+                    f"{[round(s['wall_sec'], 2) for s in io_lo_s]} "
+                    f"local{hi_cores}="
+                    f"{[round(s['wall_sec'], 2) for s in io_hi_s]} "
+                    f"rows={io_lo.get('rows')} job=parquet-scan->shuffle->agg",
+                    file=sys.stderr, flush=True,
+                )
+                cdc["io_control"] = {
+                    f"local{lo_cores}": _slim(io_lo, None),
+                    f"local{hi_cores}": _slim(io_hi, None),
+                    "scaling_efficiency": round(_ctl_eff(io_lo_s, io_hi_s), 3),
+                }
+            # the one-field weather verdict: how much worse does IO-bearing
+            # work scale than pure compute on this host RIGHT NOW. ~1 =
+            # clean; >>1 = the host is taxing concurrent IO and the CDC
+            # wall numbers below are weather-bound, not engine-bound.
+            ce, ioe = _ctl_eff(c_lo_s, c_hi_s), _ctl_eff(io_lo_s, io_hi_s)
+            if ce and ioe:
+                cdc["io_tax_ratio"] = round(ce / ioe, 2)
             if lo_s and hi_s:
                 lo, hi = _best_of(lo_s, hi_s)
                 print(
@@ -392,7 +500,7 @@ def main() -> int:
                 # weather? Retention is the engine-property proxy: on a real
                 # cluster (no per-task inflation) busy cores = throughput.
                 if lo.get("parallel_utilization") and hi.get("parallel_utilization"):
-                    cdc["scaling_efficiency_utilization"] = round(
+                    cdc["eff_utilization"] = round(
                         (hi["events_per_sec"] / lo["events_per_sec"])
                         / (
                             (hi_cores * hi["parallel_utilization"])
@@ -400,11 +508,11 @@ def main() -> int:
                         ),
                         3,
                     )
-                    cdc["utilization_retention"] = round(
+                    cdc["util_retention"] = round(
                         hi["parallel_utilization"] / lo["parallel_utilization"], 3
                     )
                 if lo.get("task_sec") and hi.get("task_sec"):
-                    cdc["task_sec_per_million_events"] = {
+                    cdc["task_sec_per_m"] = {
                         f"local{lo_cores}": round(
                             lo["task_sec"] / (lo["events"] / 1e6), 1
                         ),
@@ -412,14 +520,15 @@ def main() -> int:
                             hi["task_sec"] / (hi["events"] / 1e6), 1
                         ),
                     }
+                    # weather-robust headline: identical work at both
+                    # levels, so task-sec ratio 1.0 = zero per-task
+                    # inflation from added parallelism. On a real cluster
+                    # (no syscall-interception tax) this IS wall scaling.
+                    cdc["task_sec_efficiency"] = round(
+                        lo["task_sec"] / hi["task_sec"], 3
+                    )
             result["cdc"] = cdc
             print(_final_line(result), flush=True)
-
-        def _control_eff(c_lo_s, c_hi_s) -> float | None:
-            if not (c_lo_s and c_hi_s):
-                return None
-            c_lo, c_hi = _best_of(c_lo_s, c_hi_s)
-            return (c_hi["rows_per_sec"] / c_lo["rows_per_sec"]) / factor
 
         # pure-compute control FIRST (cheapest evidence): does plain JVM
         # compute scale with cores on this host right now?
@@ -438,16 +547,18 @@ def main() -> int:
         # strictly additive).
         c_lo_s: list = []
         c_hi_s: list = []
+        io_lo_s: list = []
+        io_hi_s: list = []
         control_pairs = max(runs, 3)
         extra = 0
         while True:
             _try(lambda: _run_control_once(lo_cores, control_rows), c_lo_s)
             _try(lambda: _run_control_once(hi_cores, control_rows), c_hi_s)
-            _emit_cdc(c_lo_s, c_hi_s, [], [])
+            _emit_cdc(c_lo_s, c_hi_s, io_lo_s, io_hi_s, [], [])
             control_pairs -= 1
             if control_pairs > 0:
                 continue
-            eff = _control_eff(c_lo_s, c_hi_s)
+            eff = _ctl_eff(c_lo_s, c_hi_s)
             if eff is not None and eff < 0.8 and extra < 2:
                 extra += 1
                 print(f"# control eff {eff:.3f} < 0.8 — extra pair {extra}/2",
@@ -458,10 +569,15 @@ def main() -> int:
         wal = _bench_wal(n_events)
         lo_s: list = []
         hi_s: list = []
+        # IO control pairs interleave WITH the CDC pairs (not before them):
+        # host weather moves on ~minute timescales, so the control must
+        # sample the SAME window the CDC numbers land in to adjudicate them.
         for _ in range(runs):
+            _try(lambda: _run_io_control_once(lo_cores, wal), io_lo_s)
             _try(lambda: _run_cdc_once(lo_cores, wal), lo_s)
+            _try(lambda: _run_io_control_once(hi_cores, wal), io_hi_s)
             _try(lambda: _run_cdc_once(hi_cores, wal), hi_s)
-            _emit_cdc(c_lo_s, c_hi_s, lo_s, hi_s)
+            _emit_cdc(c_lo_s, c_hi_s, io_lo_s, io_hi_s, lo_s, hi_s)
     else:
         print(_final_line(result))
     return 0

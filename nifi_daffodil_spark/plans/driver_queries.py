@@ -585,17 +585,47 @@ GROUP BY r_name
 
 
 def q_join_salted_orders(spark, sf_dir):
-    """Skew-resilient fact join: salt the build side the way the MERGE path
-    salts conv_id. Result identical to the plain join (oracle)."""
+    """Two-path skew join (round-4 verdict #3): detect hot probe-side keys
+    (count > HOT_FACTOR x mean), salt ONLY those, and plain-join the cold
+    majority. The previous form replicated the ENTIRE build side x n_salt
+    via crossJoin — correct, but at 100x the build-side replication is
+    |customer| x n_salt rows of wasted shuffle; here replication is bounded
+    by (hot keys x n_salt), and hot keys are small BY CONSTRUCTION
+    (count > f x mean implies #hot < distinct_keys / f). Result identical
+    to the plain join (oracle). The hot-key set is localCheckpoint'ed so
+    the three broadcast consumers (probe semi, probe anti, build semi)
+    share one O(distinct keys) detection pass instead of re-running it."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n_salt = 8
-    o_s = o.withColumn("_salt", F.pmod(F.xxhash64("o_custkey", "o_orderkey"), F.lit(n_salt)))
-    c_s = c.crossJoin(
+    hot_factor = 4
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_cnt"))
+    mean = counts.agg(F.avg("_cnt").alias("_avg"))
+    hot = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("_cnt") > hot_factor * F.col("_avg"))
+        .select(F.col("o_custkey").alias("_hk"))
+        .localCheckpoint(eager=True)
+    )
+    o_hot = o.join(F.broadcast(hot), o.o_custkey == F.col("_hk"), "left_semi")
+    o_cold = o.join(F.broadcast(hot), o.o_custkey == F.col("_hk"), "left_anti")
+    # hot path: salt the probe rows; replicate only the hot build rows
+    c_hot = c.join(F.broadcast(hot), c.c_custkey == F.col("_hk"), "left_semi")
+    c_hot_rep = c_hot.crossJoin(
         spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
     )
-    j = o_s.join(c_s, (o_s.o_custkey == c_s.c_custkey) & (o_s._salt == c_s._salt))
-    return j.groupBy("c_mktsegment").agg(
+    o_hot_s = o_hot.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_custkey", "o_orderkey"), F.lit(n_salt))
+    )
+    j_hot = o_hot_s.join(
+        c_hot_rep,
+        (o_hot_s.o_custkey == c_hot_rep.c_custkey)
+        & (o_hot_s._salt == c_hot_rep._salt),
+    )
+    j_cold = o_cold.join(c, o_cold.o_custkey == c.c_custkey)
+    cols = ["c_mktsegment", "o_totalprice"]
+    u = j_hot.select(*cols).unionByName(j_cold.select(*cols))
+    return u.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
         .cast("double")
@@ -818,6 +848,56 @@ def q_dedup_components(spark, sf_dir):
 
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     return resolve_keepers(pairs)
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """END-TO-END corpus dedup (the round-4 headline feature, now graded +
+    benched — round-4 verdict #6): documents in -> deduped corpus out, via
+    MinHash+LSH candidates, exact-Jaccard verify, connected-components
+    cluster resolution, keeper selection, anti-join — one
+    `dedup_corpus()` call. Returns the surviving doc_ids. Oracle: the
+    exhaustive exact-Jaccard pair set (LSH recall is total at this sf, see
+    q_dedup_minhash_lsh), transitively closed with a recursive CTE; keepers
+    = min doc_id per component; survivors = documents minus non-keepers."""
+    from nifi_daffodil_spark.operators.text_dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    deduped, _drops = dedup_corpus(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        method="minhash",
+        threshold=JACCARD_T,
+        n_hashes=N_MINHASH,
+        max_bucket_size=MAX_MINHASH_BUCKET,
+    )
+    return deduped.select("doc_id")
+
+
+O_DEDUP_CORPUS = f"""
+WITH RECURSIVE sh AS ({_SH_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM (SELECT i.d1, i.d2, i.inter, s1.sz AS sz1, s2.sz AS sz2
+        FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                     JOIN sizes s2 ON i.d2 = s2.doc_id)
+  WHERE inter / (sz1 + sz2 - inter) >= {JACCARD_T}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+drops AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(label))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+"""
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1944,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_corpus": q_dedup_corpus,
         "dedup_simhash": q_dedup_simhash,
         "doc_simhash64": q_doc_simhash64,
         "neardup_cosine": q_neardup_cosine,
@@ -2003,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": O_DEDUP_COMPONENTS,
         # LSH must reproduce the exhaustive (uncapped) result:
         "dedup_minhash_lsh": O_NGRAM_JACCARD_EXHAUSTIVE,
+        "dedup_corpus": O_DEDUP_CORPUS,
         "dedup_simhash": _simhash_oracle(),
         "doc_simhash64": _simhash64_oracle(),
         "neardup_cosine": O_NEARDUP_COS,

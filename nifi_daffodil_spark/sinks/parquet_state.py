@@ -665,10 +665,23 @@ class ParquetStateSink(TranscriptSink):
         return self.spark.read.schema(QUARANTINE_SCHEMA).parquet(qdir)
 
     def read_lineage(self) -> DataFrame:
+        """Lineage for COMMITTED epochs only. A crash between the lineage
+        append and the manifest swap (the atomic commit) leaves an orphan
+        epoch-NNNNNNNN.parquet; serving it would report lineage for data
+        the table does not contain — same rule _manifest_as_of applies to
+        orphan layout files. The retry overwrites the orphan in place
+        (fixed per-epoch filename), at which point it becomes visible."""
         ldir = os.path.join(self.root, "lineage")
-        if not any(n.endswith(".parquet") for _, _, fs in os.walk(ldir) for n in fs):
+        committed = set(self._read_manifest()["epochs"])
+        files = [
+            os.path.join(ldir, n)
+            for n in sorted(os.listdir(ldir))
+            if n.startswith("epoch-") and n.endswith(".parquet")
+            and str(int(n[len("epoch-"):-len(".parquet")])) in committed
+        ]
+        if not files:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(ldir)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(*files)
 
     def compact_tombstones(self, lsn_horizon: int) -> None:
         """Reclaim delete tombstones whose lsn is older than the replay

@@ -202,3 +202,34 @@ def test_changelog_single_aggregation_exchange(spark):
     assert "Exchange hashpartitioning(user_id" in plan
     assert "partial_max" in plan  # map-side combine before the shuffle
     assert "Join" not in plan
+
+
+def test_salted_join_two_path(spark):
+    """Two-path skew join (round-4 verdict #3): the cold majority takes a
+    plain equi-join with NO salt-range replication; the only cross join in
+    the plan is the salt replication of the HOT build rows, whose input is
+    the hot-key-filtered build side (a semi join against the detected hot
+    set), never the raw build scan — so replication is bounded by
+    (hot keys x n_salt), not |build| x n_salt."""
+    plan = _plan(dq.q_join_salted_orders(spark, SF))
+    # exactly one cross-join operator: the salt-range replication
+    n_cross = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+    assert n_cross == 1, plan
+    # probe split into hot (semi) and cold (anti) against the hot-key set,
+    # plus the build side's own hot filter
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "LeftAnti" in plan
+    # both paths feed one union before the final aggregation
+    assert "Union" in plan
+    # the hot path joins on (key, salt); the cold path on the key ALONE
+    import re
+
+    inner = [
+        m.group(0)
+        for m in re.finditer(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan
+        )
+        if "Semi" not in m.group(0) and "Anti" not in m.group(0)
+    ]
+    assert any("_salt" in j for j in inner), plan      # hot path is salted
+    assert any("_salt" not in j for j in inner), plan  # cold path is not

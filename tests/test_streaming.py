@@ -142,3 +142,84 @@ def test_metrics_stream_side_channel(spark, tmp_path, wal):
     joined = last.join(wal_counts, "conv_id")
     bad = joined.filter(F.col("n_events") != F.col("count")).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# crash INSIDE an epoch's commit sequence (round-4 verdict #7): the existing
+# kill/resume test above kills BETWEEN epochs; these kill between the delta
+# data write and (a) the lineage append, (b) the manifest swap — the atomic
+# commit — then "restart" with fresh objects over the same root and assert
+# the epoch converges to fully-present with data and lineage in agreement.
+# ---------------------------------------------------------------------------
+
+
+class _FaultySink(ParquetStateSink):
+    """Fault injection: raise ONCE at a chosen point inside apply_batch's
+    commit sequence (delta write -> quarantine -> lineage -> layout ->
+    manifest), simulating a driver crash mid-commit."""
+
+    def __init__(self, *a, fail_at: str, **kw):
+        # set BEFORE super().__init__: the base ctor writes the bootstrap
+        # manifest through our _write_manifest override
+        self.fail_at = fail_at
+        self.tripped = False
+        super().__init__(*a, **kw)
+
+    def _write_lineage(self, rows, snapshot_id, epoch_id):
+        if self.fail_at == "lineage" and not self.tripped:
+            self.tripped = True
+            raise RuntimeError("injected crash before lineage append")
+        return super()._write_lineage(rows, snapshot_id, epoch_id)
+
+    def _write_manifest(self, m):
+        # trip only on a COMMIT write (an epochs entry present), never the
+        # bootstrap manifest written by __init__
+        if self.fail_at == "manifest" and not self.tripped and m.get("epochs"):
+            self.tripped = True
+            raise RuntimeError("injected crash before manifest swap")
+        return super()._write_manifest(m)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("fail_at", ["lineage", "manifest"])
+def test_crash_inside_epoch_commit_recovers(spark, tmp_path, wal, fail_at):
+    from nifi_daffodil_spark.sources.wal import read_wal_batch
+
+    root = str(tmp_path / "table")
+    sink = _FaultySink(spark, root, n_buckets=16, fail_at=fail_at)
+    eng = CdcEngine(spark, sink, EngineConfig(n_buckets=16))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.process_batch(read_wal_batch(spark, wal["v0"], "v0"), 7)
+
+    # fresh objects over the same root = post-crash restart. The failed
+    # epoch must be INVISIBLE: not applied, no state rows, no lineage —
+    # even in the fail_at="manifest" case where the lineage file and the
+    # layout file both exist on disk (orphans of the aborted commit).
+    fresh = ParquetStateSink(spark, root, n_buckets=16)
+    assert not fresh.epoch_applied(7)
+    assert "7" not in fresh._read_manifest()["epochs"]
+    assert fresh.read_transcripts().count() == 0
+    assert fresh.read_lineage().count() == 0
+
+    # checkpoint redelivery: the SAME batch re-applies under the same epoch
+    eng2 = CdcEngine(spark, fresh, EngineConfig(n_buckets=16))
+    st = eng2.process_batch(read_wal_batch(spark, wal["v0"], "v0"), 7)
+    assert not st.skipped
+
+    expected, n_quar = replay_oracle(wal["v0"])
+    assert_frames_equal(
+        fresh.read_transcripts().orderBy("conv_id", "turn_idx"), expected
+    )
+    # data + lineage agree: the lineage rows for the epoch carry exactly the
+    # snapshot_id the committed manifest records, and the quarantine
+    # partition was replaced, not double-appended
+    snap = fresh._read_manifest()["epochs"]["7"]["snapshot_id"]
+    lin = fresh.read_lineage().filter("epoch = 7")
+    assert lin.count() > 0
+    assert [r["snapshot_id"] for r in lin.select("snapshot_id").distinct().collect()] == [snap]
+    assert fresh.read_quarantine().count() == n_quar
+
+    # idempotence survives the whole episode: a second delivery no-ops
+    assert eng2.process_batch(read_wal_batch(spark, wal["v0"], "v0"), 7).skipped
