@@ -592,39 +592,15 @@ def q_join_salted_orders(spark, sf_dir):
     |customer| x n_salt rows of wasted shuffle; here replication is bounded
     by (hot keys x n_salt), and hot keys are small BY CONSTRUCTION
     (count > f x mean implies #hot < distinct_keys / f). Result identical
-    to the plain join (oracle). The hot-key set is localCheckpoint'ed so
-    the three broadcast consumers (probe semi, probe anti, build semi)
-    share one O(distinct keys) detection pass instead of re-running it."""
+    to the plain join (oracle). Plan shape + rationale live in
+    operators/skew.py (the reusable form of this join)."""
+    from nifi_daffodil_spark.operators.skew import two_path_skew_join
+
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    n_salt = 8
-    hot_factor = 4
-    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_cnt"))
-    mean = counts.agg(F.avg("_cnt").alias("_avg"))
-    hot = (
-        counts.crossJoin(F.broadcast(mean))
-        .filter(F.col("_cnt") > hot_factor * F.col("_avg"))
-        .select(F.col("o_custkey").alias("_hk"))
-        .localCheckpoint(eager=True)
+    u = two_path_skew_join(o, c, "o_custkey", "c_custkey", n_salt=8).select(
+        "c_mktsegment", "o_totalprice"
     )
-    o_hot = o.join(F.broadcast(hot), o.o_custkey == F.col("_hk"), "left_semi")
-    o_cold = o.join(F.broadcast(hot), o.o_custkey == F.col("_hk"), "left_anti")
-    # hot path: salt the probe rows; replicate only the hot build rows
-    c_hot = c.join(F.broadcast(hot), c.c_custkey == F.col("_hk"), "left_semi")
-    c_hot_rep = c_hot.crossJoin(
-        spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
-    )
-    o_hot_s = o_hot.withColumn(
-        "_salt", F.pmod(F.xxhash64("o_custkey", "o_orderkey"), F.lit(n_salt))
-    )
-    j_hot = o_hot_s.join(
-        c_hot_rep,
-        (o_hot_s.o_custkey == c_hot_rep.c_custkey)
-        & (o_hot_s._salt == c_hot_rep._salt),
-    )
-    j_cold = o_cold.join(c, o_cold.o_custkey == c.c_custkey)
-    cols = ["c_mktsegment", "o_totalprice"]
-    u = j_hot.select(*cols).unionByName(j_cold.select(*cols))
     return u.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)

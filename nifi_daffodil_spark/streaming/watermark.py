@@ -40,3 +40,38 @@ def windowed_turn_counts(
             "max_lsn",
         )
     )
+
+
+def sessionized_turn_counts(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Event-time gap sessionization over the WAL tail — the STREAMING
+    analog of `plans.driver_queries.q_sessionize` (same
+    inactivity-gap-closes-session semantics, 30-minute default), built on
+    `F.session_window` so Spark merges windows that an event bridges
+    across micro-batches via the state store.
+
+    In append output mode a session emits exactly once, when the
+    watermark passes its end (last event ts + gap); its state is then
+    freed, so memory is proportional to the number of OPEN sessions
+    inside the watermark horizon, never to stream length — the bounded-
+    state contract windowed_turn_counts documents, applied to the
+    training-pipeline sessionization primitive. Sessions whose last
+    event lies within (watermark + gap) of the stream head are still
+    open and intentionally unemitted; a later micro-batch (or the next
+    availableNow replay) closes them.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("lsn").alias("max_lsn"))
+        .select(
+            F.col("win.start").alias("start_ts"),
+            F.col("win.end").alias("end_ts"),
+            "conv_id",
+            "n_events",
+            "max_lsn",
+        )
+    )
