@@ -382,10 +382,15 @@ def main() -> int:
         # the byte budget of the final line (<=1400, tail-capture contract)
         # now carries 30+ headline entries
         timings[name] = round(time.monotonic() - t0, 2)
-    for name in COLD:  # build+materialize in ONE cold measurement (see COLD)
+    # COLD queries report under their own key and do NOT join the headline
+    # sum: `value` stays the warm-suite number comparable across rounds
+    # (r1-r4), and a single cold iterative pipeline (checkpoint-per-round)
+    # would otherwise dominate and obscure every warm regression.
+    cold_timings: dict[str, float] = {}
+    for name in COLD:
         t0 = time.monotonic()
         _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 2)
+        cold_timings[name] = round(time.monotonic() - t0, 2)
     total = round(sum(timings.values()), 2)
     spark.stop()
 
@@ -394,6 +399,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold_timings,
         "sf": sf,
     }
     # Emit the headline-only line NOW: the scaling phase below takes tens of
