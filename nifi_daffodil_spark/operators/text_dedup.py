@@ -11,7 +11,9 @@ Scale notes:
     so the distinct() dedup per doc happens map-side first.
   * minhash_lsh_pairs: the candidate join shuffles (band, minhash) keys —
     band count b controls recall (r=1: P(cand) = 1-(1-s)^b) and join fanout.
-    Verification joins shingles only for candidate pairs (never all pairs).
+    Verification joins candidate pairs against per-doc shingle-set ARRAYS
+    (array_intersect) — O(|candidates|) rows, never all pairs, never the
+    exploded shingle table.
   * simhash: linear in total words; fingerprints then group by simhash
     bucket — O(n) near-dup blocking at 100 TB scale.
 """
@@ -68,16 +70,31 @@ def jaccard_pairs(
     true near-dup pair is missed only if it shares exclusively >max_df
     stop-shingles, which at threshold >= 0.5 means both docs are
     stop-phrase soup.
+
+    Verification is ARRAY-based (round-5): one groupBy collects each doc's
+    sorted shingle set, candidates join two set columns, and the
+    intersection is `size(array_intersect(...))` — O(|candidates|) verify
+    rows instead of the former candidates x per-doc-shingles explosion
+    (|cand| x ~50 intermediate rows at sf0.1, and the shingle table
+    recomputed per join branch — the dominant cost of the corpus-dedup
+    pipeline before this change).
     Returns (d1, d2, jaccard) with jaccard >= threshold.
     """
-    if candidates is None and max_df is not None:
-        dfreq = (
-            shingles.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("sh")
-        )
-        capped = shingles.join(dfreq, "sh")
+    sets = shingles.groupBy("_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("_shs"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    if candidates is None:
+        if max_df is not None:
+            dfreq = (
+                shingles.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("sh")
+            )
+            capped = shingles.join(dfreq, "sh")
+        else:
+            capped = shingles
         a = capped.select(F.col("_id").alias("d1"), "sh")
         b = capped.select(F.col("_id").alias("d2"), F.col("sh").alias("sh2"))
         candidates = (
@@ -85,30 +102,29 @@ def jaccard_pairs(
             .select("d1", "d2")
             .distinct()
         )
-    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    if candidates is None:
-        a = shingles.select(F.col("_id").alias("d1"), "sh")
-        b = shingles.select(F.col("_id").alias("d2"), F.col("sh").alias("sh2"))
-        inter = (
-            a.join(b, (F.col("sh") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
-            .groupBy("d1", "d2")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-    else:
-        a = shingles.select(F.col("_id").alias("d1"), "sh")
-        b = shingles.select(F.col("_id").alias("bd2"), F.col("sh").alias("sh2"))
-        inter = (
-            candidates.join(a, "d1")
-            .join(b, (F.col("d2") == F.col("bd2")) & (F.col("sh") == F.col("sh2")))
-            .groupBy("d1", "d2")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-    sa = sizes.select(F.col("_id").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("_id").alias("d2"), F.col("sz").alias("sz2"))
+    return _verify_candidates(candidates, sets, threshold)
+
+
+def _verify_candidates(
+    candidates: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of (d1, d2) candidates against per-doc shingle
+    sets (_id, _shs sorted array, _sz). Two equality joins on doc id + a
+    map-side array intersection — never touches the exploded shingle table,
+    so verify cost is O(|candidates|) rows regardless of doc length."""
+    s1 = sets.select(
+        F.col("_id").alias("d1"), F.col("_shs").alias("_shs1"), F.col("_sz").alias("_sz1")
+    )
+    s2 = sets.select(
+        F.col("_id").alias("d2"), F.col("_shs").alias("_shs2"), F.col("_sz").alias("_sz2")
+    )
     return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("_shs1", "_shs2")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("_sz1") + F.col("_sz2") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -137,16 +153,29 @@ def minhash_lsh_pairs(
     rows, so one degenerate bucket (e.g. empty-text docs) is quadratic at
     corpus scale. Standard LSH practice; a pair losing a crowded bucket is
     still found through any of its other n_bands-1 buckets.
+
+    Plan shape (round-5 rewrite): ONE groupBy over the exploded shingles
+    computes the n_hashes min-hash signatures AND the sorted shingle-set
+    array AND the set size together, and that per-doc base table is
+    persisted (MEMORY_AND_DISK — row count = |docs|, payload ~ corpus
+    size, spillable). The band explode, the bucket-size cap, both sides of
+    the candidate self-join, and the exact verify all read the cache; the
+    previous version persisted only the exploded shingle table and
+    recomputed the signature aggregation once per consuming branch, which
+    multiplied the whole pipeline's cost ~6x at sf0.1 (272 s -> ~30 s for
+    dedup_corpus cold, BASELINE.md round-5).
     """
     assert n_hashes % rows_per_band == 0
     n_bands = n_hashes // rows_per_band
-    sh = word_shingles(df, id_col, text_col).persist()
-    sig = sh.groupBy("_id").agg(
+    sh = word_shingles(df, id_col, text_col)
+    base = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("_shs"),
+        F.count(F.lit(1)).alias("_sz"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
             for i in range(n_hashes)
-        ]
-    )
+        ],
+    ).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -156,7 +185,7 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
+    bands = base.select(
         F.col("_id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
@@ -179,8 +208,7 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    out = jaccard_pairs(sh, threshold, candidates=cand)
-    return out
+    return _verify_candidates(cand, base.select("_id", "_shs", "_sz"), threshold)
 
 
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
