@@ -275,12 +275,12 @@ def _bench_wal(n_events: int, text_len: int = 600) -> str:
     return d
 
 
-def _run_worker(code: str, what: str) -> dict:
+def _run_worker(code: str, what: str, timeout: int = 600) -> dict:
     # 600 s cap per run: host weather occasionally makes one run 10x slower
     # (observed 420 s vs 37 s for identical local[2] replays); best-of keeps
     # the fast sample, so a straggler is a LOST SAMPLE, not a lost artifact
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
@@ -295,7 +295,12 @@ def _run_cdc_once(cores: int, wal: str) -> dict:
     root = tempfile.mkdtemp(prefix=f"cdc_bench_{cores}_")
     try:
         code = _CDC_WORKER.format(repo=REPO, cores=cores, wal=wal, root=root)
-        return _run_worker(code, f"cdc cores={cores}")
+        # CDC runs get 900 s: a low-core replay under the worst observed
+        # IO weather exceeded 600 s (round-5: the 2 M-event local[2]
+        # sample timed out and the scaling evidence lost its denominator).
+        # A slow sample is still adjudicable via the interleaved
+        # io-control; a LOST sample is not.
+        return _run_worker(code, f"cdc cores={cores}", timeout=900)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -322,8 +327,10 @@ def _final_line(result: dict) -> str:
     redundancy — BASELINE.md documents the fields)."""
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1400 and isinstance(result.get("cdc"), dict):
-        # fallback: shed the per-level "runs" counts (pure provenance —
-        # stderr carries every sample) before anything load-bearing
+        # fallback: shed pure redundancy before anything load-bearing —
+        # the notes pointer (BASELINE.md documents the fields) and the
+        # per-level "runs" counts (stderr carries every sample)
+        result["cdc"].pop("notes", None)
         for v in result["cdc"].values():
             if isinstance(v, dict):
                 v.pop("runs", None)

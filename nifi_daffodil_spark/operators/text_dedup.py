@@ -80,6 +80,10 @@ def jaccard_pairs(
     pipeline before this change).
     Returns (d1, d2, jaccard) with jaccard >= threshold.
     """
+    if candidates is None:
+        # candidate gen + sets below reference `shingles` 3-4x; persist so
+        # the explode/distinct runs once (MEMORY_AND_DISK, spillable)
+        shingles = shingles.persist()
     sets = shingles.groupBy("_id").agg(
         F.sort_array(F.collect_list("sh")).alias("_shs"),
         F.count(F.lit(1)).alias("_sz"),
