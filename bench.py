@@ -113,7 +113,7 @@ HEADLINE = [
 # checkpoint re-reads, not the operator (same reason dedup_components is
 # excluded). A single cold timing tracks its real shuffle volume
 # round-over-round (round-4 verdict #6).
-COLD = ["dedup_corpus"]
+COLD = ["dedup_corpus", "dedup_semantic", "corpus_pipeline"]
 
 _CDC_WORKER = r"""
 import json, os, sys, time

@@ -81,9 +81,13 @@ def jaccard_pairs(
     Returns (d1, d2, jaccard) with jaccard >= threshold.
     """
     if candidates is None:
-        # candidate gen + sets below reference `shingles` 3-4x; persist so
-        # the explode/distinct runs once (MEMORY_AND_DISK, spillable)
-        shingles = shingles.persist()
+        # candidate gen + sets below reference `shingles` 3-4x; eager
+        # localCheckpoint (not persist — persisted blocks leak for the
+        # session lifetime across repeated calls; checkpoint blocks are
+        # dropped by the ContextCleaner once the result is GC'd, same
+        # rationale as similarity.srp_lsh_pairs) so the explode/distinct
+        # runs once
+        shingles = shingles.localCheckpoint(eager=True)
     sets = shingles.groupBy("_id").agg(
         F.sort_array(F.collect_list("sh")).alias("_shs"),
         F.count(F.lit(1)).alias("_sz"),
@@ -161,13 +165,16 @@ def minhash_lsh_pairs(
     Plan shape (round-5 rewrite): ONE groupBy over the exploded shingles
     computes the n_hashes min-hash signatures AND the sorted shingle-set
     array AND the set size together, and that per-doc base table is
-    persisted (MEMORY_AND_DISK — row count = |docs|, payload ~ corpus
-    size, spillable). The band explode, the bucket-size cap, both sides of
-    the candidate self-join, and the exact verify all read the cache; the
-    previous version persisted only the exploded shingle table and
-    recomputed the signature aggregation once per consuming branch, which
-    multiplied the whole pipeline's cost ~6x at sf0.1 (272 s -> ~30 s for
-    dedup_corpus cold, BASELINE.md round-5).
+    materialized once via eager localCheckpoint (row count = |docs|,
+    payload ~ corpus size; checkpoint blocks are freed by the
+    ContextCleaner when the result is GC'd, unlike persist() which leaks
+    for the session — same rationale as similarity.srp_lsh_pairs). The
+    band explode, the bucket-size cap, both sides of the candidate
+    self-join, and the exact verify all read those blocks; the previous
+    version persisted only the exploded shingle table and recomputed the
+    signature aggregation once per consuming branch, which multiplied the
+    whole pipeline's cost ~6x at sf0.1 (272 s -> ~30 s for dedup_corpus
+    cold, BASELINE.md round-5).
     """
     assert n_hashes % rows_per_band == 0
     n_bands = n_hashes // rows_per_band
@@ -179,7 +186,7 @@ def minhash_lsh_pairs(
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
             for i in range(n_hashes)
         ],
-    ).persist()
+    ).localCheckpoint(eager=True)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

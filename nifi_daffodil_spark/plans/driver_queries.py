@@ -34,6 +34,9 @@ JACCARD_T = 0.5
 MAX_SHINGLE_DF = 32  # shingle document-frequency cap for candidate generation
 MAX_MINHASH_BUCKET = 100  # band-bucket size cap before the candidate self-join
 N_SRP_BANDS, SRP_ROWS_PER_BAND = 16, 2  # 32-bit SRP LSH for cosine near-dup
+SEMDEDUP_T = 0.45  # cosine threshold for embedding-space (semantic) dedup
+QUALITY_T = 0.25  # corpus_pipeline: min quality score to keep a document
+MIN_WORDS = 20  # corpus_pipeline: min whitespace word count to keep
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -876,6 +879,159 @@ WHERE doc_id NOT IN (SELECT node FROM drops)
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style EMBEDDING-space dedup (round-5): documents whose
+    embeddings are semantically near-identical (cosine >= {SEMDEDUP_T})
+    collapse to one keeper per cluster. Candidates via banded SRP-LSH
+    (equality hash-join on (band, key) buckets — no cartesian), exact
+    cosine on candidates only, transitive closure + min-id keeper via the
+    same connected-components operator the text dedup family uses. This is
+    the scale shape of semantic dedup at 100 TB: LSH blocking keeps the
+    pair count sum-of-bucket-squares, and the closure is O(log n) rounds.
+    Returns every clustered vector: (vec_id, component=keeper, is_dup).
+    Oracle: identical SRP candidates (shared CTE chain), exact cosine
+    threshold, recursive-CTE closure."""
+    from nifi_daffodil_spark.operators.similarity import as_double_vecs, srp_lsh_pairs
+    from nifi_daffodil_spark.operators.text_dedup import resolve_keepers
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        srp_lsh_pairs(
+            as_double_vecs(e),
+            dim=64,
+            n_bands=N_SRP_BANDS,
+            rows_per_band=SRP_ROWS_PER_BAND,
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+        .select("d1", "d2")
+    )
+    return resolve_keepers(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component", "is_dup"
+    )
+
+
+def _semantic_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_srp_cand_cte()},
+pairs AS (
+  SELECT c.d1, c.d2
+  FROM cand c JOIN u x ON x.vec_id = c.d1 JOIN u y ON y.vec_id = c.d2
+  WHERE list_dot_product(x.u, y.u) >= {SEMDEDUP_T}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+SELECT node AS vec_id, min(label) AS component,
+       CASE WHEN node = min(label) THEN 0 ELSE 1 END AS is_dup
+FROM reach GROUP BY node
+"""
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """FLAGSHIP training-data pipeline composition (round-5): the full
+    pre-training corpus pass a reference user would run, end-to-end in one
+    declarative plan — language-ID gate (stopword ratio > 0.05) -> quality
+    gate (score >= {QUALITY_T}, >= {MIN_WORDS} words) -> MinHash+LSH
+    near-dup removal with exact-Jaccard verify and transitive-closure
+    keeper selection -> per-surviving-doc stats (words, quality, regex
+    tokens). Each stage is individually graded elsewhere (text_langid,
+    text_quality, dedup_corpus, text_token_count); this entry grades their
+    COMPOSITION. Plan shape: one explode+groupBy for the metrics, one
+    broadcast-able metrics join, then the bounded-shuffle dedup pipeline
+    over the kept subset only — filters run BEFORE pair generation, so the
+    quadratic-risk stage sees the smallest corpus."""
+    from nifi_daffodil_spark.operators.text_dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)).alias(
+            "stop_hits"
+        ),
+    )
+    metrics = agg.select(
+        "doc_id",
+        "n_words",
+        (F.col("stop_hits") / F.col("n_words")).alias("stop_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.5
+            + (F.col("stop_hits") / F.col("n_words")) * 0.5,
+            4,
+        ).alias("quality"),
+    )
+    kept = d.join(
+        metrics.filter(
+            (F.col("stop_ratio") > 0.05)
+            & (F.col("quality") >= QUALITY_T)
+            & (F.col("n_words") >= MIN_WORDS)
+        ),
+        "doc_id",
+    )
+    deduped, _drops = dedup_corpus(
+        kept.select("doc_id", "text"),
+        id_col="doc_id",
+        text_col="text",
+        method="minhash",
+        threshold=JACCARD_T,
+        n_hashes=N_MINHASH,
+        max_bucket_size=MAX_MINHASH_BUCKET,
+    )
+    return deduped.join(metrics, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "quality",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+O_CORPUS_PIPELINE = f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+a AS (SELECT doc_id, count(*) AS n_words,
+             sum(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) AS hits
+      FROM w GROUP BY doc_id),
+m AS (SELECT doc_id, n_words, hits * 1.0 / n_words AS stop_ratio,
+             round(least(1.0, n_words / 100.0) * 0.5 +
+                   (hits * 1.0 / n_words) * 0.5, 4) AS quality
+      FROM a),
+kept AS (SELECT d.doc_id, d.text, m.n_words, m.quality
+         FROM documents d JOIN m USING (doc_id)
+         WHERE m.stop_ratio > 0.05 AND m.quality >= {QUALITY_T}
+           AND m.n_words >= {MIN_WORDS}),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+            LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM (SELECT i.d1, i.d2, i.inter, s1.sz AS sz1, s2.sz AS sz2
+        FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                     JOIN sizes s2 ON i.d2 = s2.doc_id)
+  WHERE inter / (sz1 + sz2 - inter) >= {JACCARD_T}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+drops AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(label))
+SELECT doc_id, n_words, quality,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+FROM kept
+WHERE doc_id NOT IN (SELECT node FROM drops)
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: signature_i = min(md5(i || shingle)) (string
     min — portable), bands r=1 b={N_MINHASH}, band buckets capped at
@@ -1044,6 +1200,20 @@ def _srp_oracle() -> str:
     hyperplanes, identical band keys, identical candidate join — the dot
     products use the same left-fold order, so bits and cosines are
     bit-identical across engines."""
+    return f"""
+WITH {_srp_cand_cte()}
+SELECT c.d1 AS v1, c.d2 AS v2,
+       round(list_dot_product(x.u, y.u), 4) AS cos_sim
+FROM cand c JOIN u x ON x.vec_id = c.d1 JOIN u y ON y.vec_id = c.d2
+ORDER BY list_dot_product(x.u, y.u) DESC, v1, v2 LIMIT 20
+"""
+
+
+def _srp_cand_cte() -> str:
+    """The WITH-clause CTE chain (e, nrm, u, keys, bands, cand) replicating
+    srp_lsh_pairs' candidate generation in DuckDB — shared by the
+    neardup_cosine_lsh and dedup_semantic oracles so both verify the exact
+    same candidate set the Spark operator produces."""
     from nifi_daffodil_spark.operators.similarity import srp_coefficients
 
     n_bits = N_SRP_BANDS * SRP_ROWS_PER_BAND
@@ -1067,8 +1237,7 @@ def _srp_oracle() -> str:
         f"SELECT vec_id, {j} AS band, k{j} AS key FROM keys"
         for j in range(N_SRP_BANDS)
     )
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n, v FROM e),
 u AS (SELECT vec_id, list_transform(v, x -> x / n) AS u FROM nrm),
 keys AS (SELECT vec_id, {key_cols} FROM u),
@@ -1076,12 +1245,7 @@ bands AS ({band_union}),
 cand AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                           AND a.vec_id < b.vec_id)
-SELECT c.d1 AS v1, c.d2 AS v2,
-       round(list_dot_product(x.u, y.u), 4) AS cos_sim
-FROM cand c JOIN u x ON x.vec_id = c.d1 JOIN u y ON y.vec_id = c.d2
-ORDER BY list_dot_product(x.u, y.u) DESC, v1, v2 LIMIT 20
-"""
+                           AND a.vec_id < b.vec_id)"""
 
 
 def q_ann_topk(spark, sf_dir):
@@ -2001,6 +2165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_semantic": q_dedup_semantic,
+        "corpus_pipeline": q_corpus_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "doc_simhash64": q_doc_simhash64,
         "neardup_cosine": q_neardup_cosine,
@@ -2061,6 +2227,8 @@ def oracle_sql() -> dict[str, str]:
         # LSH must reproduce the exhaustive (uncapped) result:
         "dedup_minhash_lsh": O_NGRAM_JACCARD_EXHAUSTIVE,
         "dedup_corpus": O_DEDUP_CORPUS,
+        "dedup_semantic": _semantic_oracle(),
+        "corpus_pipeline": O_CORPUS_PIPELINE,
         "dedup_simhash": _simhash_oracle(),
         "doc_simhash64": _simhash64_oracle(),
         "neardup_cosine": O_NEARDUP_COS,

@@ -654,3 +654,67 @@ def test_asof_tolerance_handles_quoted_ts_column_name(spark):
         left, right, ts="event ts", right_cols={"rid": "rid_r"}, tolerance=120
     ).collect()
     assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 100)]
+
+
+def test_semantic_dedup_clusters_identical_vectors(spark):
+    """q_dedup_semantic's composition (SRP-LSH pairs -> cosine threshold ->
+    resolve_keepers): byte-identical vectors (cos=1) and a tiny-perturbation
+    near-dup must collapse to the min-id keeper; an isolated vector must
+    never appear in the output (singletons are kept by omission)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    near = base + 0.001 * rng.randn(64)
+    far = rng.randn(64)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, base.tolist()), (2, near.tolist()), (3, far.tolist())],
+        "vec_id long, v array<double>",
+    )
+    pairs = (
+        similarity.srp_lsh_pairs(df, dim=64, n_bands=16, rows_per_band=2)
+        .filter(F.col("cos") >= 0.95)
+        .select("d1", "d2")
+    )
+    out = {r["doc_id"]: r for r in text_dedup.resolve_keepers(pairs).collect()}
+    assert out[0]["is_dup"] == 0 and out[0]["component"] == 0
+    assert out[1]["component"] == 0 and out[1]["is_dup"] == 1
+    assert out[2]["component"] == 0 and out[2]["is_dup"] == 1
+    assert 3 not in out
+
+
+def test_corpus_pipeline_composition(spark):
+    """corpus_pipeline survivors must each satisfy the language/quality/
+    length gates, be unique, and be strictly fewer than the gate-passing
+    set (the fixture corpus plants near-dups that the dedup stage must
+    remove); spot-check the per-doc stats against a Python recount."""
+    from nifi_daffodil_spark.plans.driver_queries import (
+        EN_STOPWORDS,
+        MIN_WORDS,
+        QUALITY_T,
+        q_corpus_pipeline,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_corpus_pipeline(spark, sf_dir).collect()
+    assert rows, "pipeline must keep something"
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(r["n_words"] >= MIN_WORDS and r["quality"] >= QUALITY_T for r in rows)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    kept = 0
+    for text in docs.values():
+        ws = text.split(" ")
+        hits = sum(1 for w in ws if w in EN_STOPWORDS)
+        quality = round(min(1.0, len(ws) / 100.0) * 0.5 + (hits / len(ws)) * 0.5, 4)
+        if hits / len(ws) > 0.05 and quality >= QUALITY_T and len(ws) >= MIN_WORDS:
+            kept += 1
+    assert 0 < len(rows) < kept  # dedup stage dropped at least one near-dup
+    import re
+
+    for r in rows[:20]:
+        ws = docs[r["doc_id"]].split(" ")
+        assert r["n_words"] == len(ws)
+        assert r["re_tokens"] == len(re.findall(r"[a-z]+|[0-9]+", docs[r["doc_id"]]))
