@@ -1,0 +1,101 @@
+"""End-to-end training-corpus pipeline: quality gates -> near-dup removal.
+
+The composition a pre-training data pipeline runs over a raw corpus
+(reference analog: the reference is driven end-to-end per record,
+TestDaffodilProcessor.java:73-83; this is the corpus-level equivalent,
+built from the individually graded stages):
+
+    language gate    stopword ratio > stop_ratio_t  (text_langid shape)
+    quality gate     score >= quality_t, words >= min_words (text_quality)
+    near-dup removal dedup_corpus (MinHash+LSH / SimHash / exact)
+    survivors        original rows + (n_words, quality) metrics attached
+
+Scale shape: ONE explode+groupBy computes both gate metrics; the gates
+filter BEFORE pair generation, so the quadratic-risk dedup stage sees the
+smallest corpus; dedup_corpus's own bounded-shuffle guarantees
+(bucket-capped LSH, O(log n) closure) then apply to the kept subset only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nifi_daffodil_spark.operators.text_dedup import dedup_corpus
+
+#: tiny deterministic English function-word list shared by the langid /
+#: quality heuristics and their DuckDB oracles
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def corpus_quality_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-doc gate metrics in one explode+groupBy: (id, n_words,
+    stop_ratio, quality). quality = length saturation (cap 100 words)
+    blended 50/50 with the stopword ratio — deterministic and portable
+    (the text_quality oracle computes the identical expression)."""
+    words = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("w"))
+    agg = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("w").isin(*stopwords), 1).otherwise(0)).alias("stop_hits"),
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        (F.col("stop_hits") / F.col("n_words")).alias("stop_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.5
+            + (F.col("stop_hits") / F.col("n_words")) * 0.5,
+            4,
+        ).alias("quality"),
+    )
+
+
+def corpus_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    stop_ratio_t: float = 0.05,
+    quality_t: float = 0.25,
+    min_words: int = 20,
+    method: str = "minhash",
+    threshold: float | None = None,
+    n_hashes: int = 16,
+    max_bucket_size: int | None = 100,
+    checkpoint_drops: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus in -> (survivors, drops).
+
+    survivors = rows passing all three gates minus near-dup drops, carrying
+    (id, text, n_words, quality). drops = dedup_corpus's
+    (doc_id, component, is_dup=1) rows — the keeper of each near-dup
+    cluster stays a survivor. Gates run before pair generation; dedup
+    kwargs pass through to dedup_corpus unchanged.
+    """
+    metrics = corpus_quality_metrics(df, id_col, text_col, stopwords)
+    kept = df.select(id_col, text_col).join(
+        metrics.filter(
+            (F.col("stop_ratio") > stop_ratio_t)
+            & (F.col("quality") >= quality_t)
+            & (F.col("n_words") >= min_words)
+        ),
+        id_col,
+    )
+    # dedup_corpus anti-joins drops against its input, so the metric
+    # columns ride through to the survivors without a second explode/join
+    survivors, drops = dedup_corpus(
+        kept.select(id_col, text_col, "n_words", "quality"),
+        id_col=id_col,
+        text_col=text_col,
+        method=method,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        max_bucket_size=max_bucket_size,
+        checkpoint_drops=checkpoint_drops,
+    )
+    return survivors, drops

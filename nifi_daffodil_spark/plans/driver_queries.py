@@ -25,8 +25,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nifi_daffodil_spark.operators.corpus import DEFAULT_STOPWORDS as EN_STOPWORDS
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _STOP_SQL = "('" + "','".join(EN_STOPWORDS) + "')"
 
 N_MINHASH = 16  # r=1, b=16 LSH bands: P(candidate) = 1-(1-s)^16
@@ -941,45 +942,25 @@ def q_corpus_pipeline(spark, sf_dir):
     COMPOSITION. Plan shape: one explode+groupBy for the metrics, one
     broadcast-able metrics join, then the bounded-shuffle dedup pipeline
     over the kept subset only — filters run BEFORE pair generation, so the
-    quadratic-risk stage sees the smallest corpus."""
-    from nifi_daffodil_spark.operators.text_dedup import dedup_corpus
+    quadratic-risk stage sees the smallest corpus. Runnable standalone on
+    any corpus parquet via `jobs/run_pipeline.py`."""
+    from nifi_daffodil_spark.operators.corpus import corpus_pipeline
 
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    agg = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)).alias(
-            "stop_hits"
-        ),
-    )
-    metrics = agg.select(
-        "doc_id",
-        "n_words",
-        (F.col("stop_hits") / F.col("n_words")).alias("stop_ratio"),
-        F.round(
-            F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.5
-            + (F.col("stop_hits") / F.col("n_words")) * 0.5,
-            4,
-        ).alias("quality"),
-    )
-    kept = d.join(
-        metrics.filter(
-            (F.col("stop_ratio") > 0.05)
-            & (F.col("quality") >= QUALITY_T)
-            & (F.col("n_words") >= MIN_WORDS)
-        ),
-        "doc_id",
-    )
-    deduped, _drops = dedup_corpus(
-        kept.select("doc_id", "text"),
+    survivors, _drops = corpus_pipeline(
+        d,
         id_col="doc_id",
         text_col="text",
+        stopwords=EN_STOPWORDS,
+        stop_ratio_t=0.05,
+        quality_t=QUALITY_T,
+        min_words=MIN_WORDS,
         method="minhash",
         threshold=JACCARD_T,
         n_hashes=N_MINHASH,
         max_bucket_size=MAX_MINHASH_BUCKET,
     )
-    return deduped.join(metrics, "doc_id").select(
+    return survivors.select(
         "doc_id",
         "n_words",
         "quality",
