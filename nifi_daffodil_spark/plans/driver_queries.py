@@ -2113,6 +2113,83 @@ FROM v WHERE o_vis OR n_vis
 """
 
 
+def q_cdc_incr_agg(spark, sf_dir):
+    """Incremental aggregate maintenance from the CDC changelog: maintain a
+    per-event_type rollup (visible key count + value total) of the LWW state
+    by applying changelog deltas to the pre-boundary base aggregate instead
+    of recomputing over the new state. The downstream-consumer pattern the
+    before/after envelope exists for (materialized-view maintenance):
+
+        final_agg = agg(state@old)  ∪  {-old_image, +new_image per change}
+
+    The oracle RECOMPUTES the same rollup from final state, so a hash match
+    proves the delta-application algebra exact — not just plausible. Value
+    totals are fixed-point (floor(value*1e6) as BIGINT) so the group-order-
+    dependent float summation of two different plans cannot drift.
+
+    Spark-first shape: one grouped agg builds both images per key (the
+    q_cdc_changelog trick), contributions are emitted map-side as an
+    exploded array, and one tiny second agg sums them — two exchanges
+    total, no self-join of two as-of states, no recompute-sized shuffle.
+    At 10^10 events the delta side is |changed keys|, not |state|."""
+    ev = _t(spark, sf_dir, "events")
+    lt = F.col("event_id") < 5000
+    micros = F.floor(F.col("value") * F.lit(1e6)).cast("long")
+    img = F.struct(
+        F.col("event_type").alias("etype"), micros.alias("vmic"), F.col("event_id")
+    )
+    g = ev.groupBy("user_id").agg(
+        F.max_by(img, "event_id").alias("_new"),
+        F.max_by(F.when(lt, img), F.when(lt, F.col("event_id"))).alias("_old"),
+        F.max(F.when(~lt, 1).otherwise(0)).alias("_touched"),
+    )
+    old_vis = F.col("_old").isNotNull() & (F.col("_old.etype") != "error")
+    new_vis = F.col("_new.etype") != "error"
+    touched = F.col("_touched") == 1
+
+    def entry(t, c, v):
+        return F.struct(
+            t.alias("etype"), F.lit(c).cast("long").alias("dcnt"), v.alias("dmic")
+        )
+
+    contribs = F.filter(
+        F.array(
+            # base: the pre-boundary visible image of every key
+            F.when(old_vis, entry(F.col("_old.etype"), 1, F.col("_old.vmic"))),
+            # delta: retract the old image of each changed key ...
+            F.when(touched & old_vis, entry(F.col("_old.etype"), -1, -F.col("_old.vmic"))),
+            # ... and add its new image
+            F.when(touched & new_vis, entry(F.col("_new.etype"), 1, F.col("_new.vmic"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        g.select(F.explode(contribs).alias("c"))
+        .groupBy(F.col("c.etype").alias("event_type"))
+        .agg(
+            F.sum("c.dcnt").alias("n_keys"),
+            F.sum("c.dmic").alias("total_value_micros"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
+
+
+# Recompute path: the same rollup straight off final LWW state. Equality
+# with the incremental plan above is the point of the test.
+O_CDC_INCR_AGG = """
+WITH img AS (
+  SELECT user_id,
+         arg_max(event_type, event_id) AS etype,
+         arg_max(value, event_id) AS val
+  FROM events GROUP BY user_id)
+SELECT etype AS event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(floor(val * 1e6) AS BIGINT)) AS BIGINT) AS total_value_micros
+FROM img WHERE etype <> 'error'
+GROUP BY etype
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2174,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rolling_window": q_cdc_rolling_window,
         "agg_count_distinct": q_agg_count_distinct,
         "cdc_changelog": q_cdc_changelog,
+        "cdc_incr_agg": q_cdc_incr_agg,
         "csv_roundtrip": q_csv_roundtrip,
     }
 
@@ -2236,5 +2314,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rolling_window": O_CDC_ROLLING,
         "agg_count_distinct": O_AGG_COUNT_DISTINCT,
         "cdc_changelog": O_CDC_CHANGELOG,
+        "cdc_incr_agg": O_CDC_INCR_AGG,
         "csv_roundtrip": O_CSV_ROUNDTRIP,
     }

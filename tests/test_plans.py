@@ -233,3 +233,16 @@ def test_salted_join_two_path(spark):
     ]
     assert any("_salt" in j for j in inner), plan      # hot path is salted
     assert any("_salt" not in j for j in inner), plan  # cold path is not
+
+
+def test_incr_agg_two_exchanges_no_recompute_join(spark):
+    """Incremental aggregate maintenance costs two exchanges — the per-key
+    image aggregation and the tiny per-type delta sum — and must contain no
+    join at all: joining the changelog back to the recomputed new state
+    would shuffle |state| rows and defeat the point of maintaining the
+    aggregate from |changed keys| deltas."""
+    plan = _plan(dq.q_cdc_incr_agg(spark, SF))
+    assert plan.count("Exchange") == 2, plan
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "partial_max" in plan  # map-side combine below the image exchange
