@@ -47,8 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                              "maintenance", "read", "rollup"],
                     default="stream")
     ap.add_argument("--rollup-dir", default=None, metavar="DIR",
-                    help="--mode rollup: root dir of the maintained "
-                         "per-conversation rollup view (parquet sink only)")
+                    help="root dir of the maintained per-conversation "
+                         "rollup view (parquet sink only). With --mode "
+                         "rollup: refresh it standalone; with stream/batch: "
+                         "keep it in sync in-line, one refresh per epoch")
     ap.add_argument("--as-of-epoch", type=int, default=None,
                     help="--mode read: time-travel to the table state as of "
                          "this epoch's commit (omit for current state)")
@@ -152,8 +154,11 @@ def main(argv: list[str] | None = None) -> int:
         args.mode != "read" or args.sink != "parquet"
     ):
         ap.error("--conv-id needs --mode read and the parquet sink")
-    if args.mode == "rollup" and (args.rollup_dir is None or args.sink != "parquet"):
-        ap.error("--mode rollup needs --rollup-dir and the parquet sink")
+    if args.mode == "rollup" and args.rollup_dir is None:
+        ap.error("--mode rollup needs --rollup-dir")
+    if args.rollup_dir is not None and args.sink != "parquet":
+        ap.error("--rollup-dir needs the parquet sink (the view reads its "
+                 "changelog)")
 
     spark = build_session(app_name="cdc-ingest", cores=args.cores)
     cfg = EngineConfig(
@@ -172,6 +177,10 @@ def main(argv: list[str] | None = None) -> int:
         sink = ParquetStateSink(spark, args.table, n_buckets=args.buckets)
 
     eng = CdcEngine(spark, sink, cfg)
+    if args.rollup_dir is not None and args.mode in ("stream", "batch"):
+        from nifi_daffodil_spark.sinks.rollup import ConvRollup
+
+        eng.attach_rollup(ConvRollup(spark, sink, args.rollup_dir))
     if args.mode == "stream":
         metrics_qs = []
         if args.metrics_stream:
@@ -274,6 +283,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.conv_id is not None:
         summary["conv_id"] = args.conv_id
         summary["conv_rows"] = sink.read_conversation(args.conv_id).count()
+    if args.rollup_dir is not None and args.mode in ("stream", "batch"):
+        summary["rollup_rows"] = eng._rollup.read().count()
     print(json.dumps(summary))
     spark.stop()
     return 0

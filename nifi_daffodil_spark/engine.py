@@ -78,6 +78,7 @@ class CdcEngine:
             resolve_external_variables(self.config.external_variables)
         )
         self.stats: list[EpochStats] = []
+        self._rollup = None  # optional maintained view (attach_rollup)
 
     # ---- the per-batch pipeline ------------------------------------------
 
@@ -116,6 +117,15 @@ class CdcEngine:
             normalized.withColumn("turn_idx", F.col("turn_idx").cast("int"))
             .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "op", "bucket")
         )
+
+    def attach_rollup(self, rollup) -> None:
+        """Maintain a ConvRollup view in-line with ingest: process_batch
+        refreshes it after every APPLIED epoch. The refresh is
+        watermark-idempotent, so a crash between the sink commit and the
+        refresh just leaves the view one epoch behind — the next refresh
+        (next epoch, or a standalone --mode rollup run) replays the missed
+        changelog range. Parquet sink only (the view reads its changelog)."""
+        self._rollup = rollup
 
     def process_batch(self, events: DataFrame, epoch_id: int) -> EpochStats:
         """Minimal-action epoch apply — ONE scan of the input per epoch.
@@ -190,6 +200,9 @@ class CdcEngine:
                 touched=touched,
             )
             tl = _tlog("sink apply_batch", tl)
+            if self._rollup is not None and not commit.get("skipped"):
+                self._rollup.refresh(int(epoch_id))
+                tl = _tlog("rollup refresh", tl)
             wall_ms = int((time.monotonic() - t0) * 1000)
             st = EpochStats(
                 epoch=int(epoch_id),

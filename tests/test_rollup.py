@@ -160,3 +160,46 @@ def test_rollup_rebuilds_after_vacuum_gap(spark, tmp_path):
     s = roll.refresh()
     assert s["applied"] and s["epoch"] == 5
     assert _view(roll) == _recompute(eng.sink) == {"a": (1, 2)}
+
+
+def test_rollup_attached_to_engine_maintains_inline(spark, tmp_path):
+    """attach_rollup keeps the view current after every applied epoch, and
+    a re-applied (skipped) epoch does not double-count."""
+    eng, roll = _setup(spark, tmp_path)
+    eng.attach_rollup(roll)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS)]), 0)
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 5)}
+    eng.process_batch(
+        _events(spark, [(2, "U", "a", 0, "user", "hey", None, TS),
+                        (3, "I", "b", 0, "user", "yo", None, TS)]), 1)
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 3), "b": (1, 2)}
+    # idempotent replay: the sink skips, the view must not move
+    m_before = roll._read_manifest()
+    eng.process_batch(
+        _events(spark, [(2, "U", "a", 0, "user", "hey", None, TS)]), 1)
+    assert roll._read_manifest() == m_before
+    assert _view(roll) == {"a": (1, 3), "b": (1, 2)}
+
+
+def test_rollup_catches_up_after_detached_epochs(spark, tmp_path):
+    """The crash-between-commit-and-refresh story: epochs applied WITHOUT
+    the view attached (= refresh never ran) are caught up by the next
+    attached epoch's refresh, because the watermark replays the whole
+    missed changelog range."""
+    eng, roll = _setup(spark, tmp_path)
+    eng.attach_rollup(roll)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS)]), 0)
+    assert roll._read_manifest()["epoch"] == 0
+    eng._rollup = None  # simulate dying before the refresh, twice
+    eng.process_batch(
+        _events(spark, [(2, "I", "b", 0, "user", "yo", None, TS)]), 1)
+    eng.process_batch(
+        _events(spark, [(3, "D", "a", 0, None, None, None, TS)]), 2)
+    assert roll._read_manifest()["epoch"] == 0  # view is behind
+    eng.attach_rollup(roll)
+    eng.process_batch(
+        _events(spark, [(4, "U", "b", 0, "user", "yoo", None, TS)]), 3)
+    assert roll._read_manifest()["epoch"] == 3
+    assert _view(roll) == _recompute(eng.sink) == {"b": (1, 3)}
