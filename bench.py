@@ -105,6 +105,7 @@ HEADLINE = [
     "agg_count_distinct",
     # round-5 additions
     "cdc_changelog",
+    "cdc_incr_agg",
 ]
 
 # Timed COLD (build + materialize in one measurement, no warm pass): the
