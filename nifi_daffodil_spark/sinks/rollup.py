@@ -143,6 +143,15 @@ class ConvRollup:
         except LookupError:
             # fell behind the sink's retention window — re-bootstrap
             return self._rebuild(to_epoch)
+        # touched buckets come from the sink manifest (per-epoch metadata),
+        # not a distinct() over the changelog — that would evaluate the
+        # whole delta-vs-as-of-state join once extra just to learn keys
+        touched = sorted({
+            int(b)
+            for e in epochs
+            if after < e <= to_epoch
+            for b in sink_m["epochs"][str(e)].get("buckets", [])
+        })
 
         dlen_after = F.coalesce(F.length(F.col("after.text")), F.lit(0)).cast("long")
         dlen_before = F.coalesce(F.length(F.col("before.text")), F.lit(0)).cast("long")
@@ -159,7 +168,7 @@ class ConvRollup:
                 .otherwise(dlen_after - dlen_before)
             ).alias("total_chars"),
         )
-        return self._apply(m, deltas, to_epoch, full=False)
+        return self._apply(m, deltas, to_epoch, touched=touched)
 
     def _rebuild(self, to_epoch: int) -> dict:
         """Full recompute from state — the lagging-consumer fallback. Writes
@@ -171,24 +180,21 @@ class ConvRollup:
             F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("total_chars"),
         )
         m = self._read_manifest()
-        return self._apply(m, rows, to_epoch, full=True)
+        return self._apply(m, rows, to_epoch, touched=None)
 
     def _apply(
-        self, m: dict, contribs: DataFrame, to_epoch: int, full: bool
+        self, m: dict, contribs: DataFrame, to_epoch: int, touched: list[int] | None
     ) -> dict:
         """Union old rollup rows of the touched buckets with the delta
         contributions, SUM per conv_id, and commit the rewritten buckets.
-        One small exchange keyed by conv_id; no join against state."""
+        One small exchange keyed by conv_id; no join against state.
+        touched=None means a full rebuild (every bucket, no old rows)."""
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(self.sink.n_buckets)).cast("int")
         contribs = contribs.withColumn("bucket", bucket)
-        if full:
+        if touched is None:
             old = None
             touched = list(range(self.sink.n_buckets))
         else:
-            # bounded: at most n_buckets distinct values
-            touched = sorted(
-                r["bucket"] for r in contribs.select("bucket").distinct().collect()
-            )
             if not touched:
                 m["epoch"] = to_epoch
                 self._write_manifest(m)
