@@ -177,10 +177,12 @@ def main(argv: list[str] | None = None) -> int:
         sink = ParquetStateSink(spark, args.table, n_buckets=args.buckets)
 
     eng = CdcEngine(spark, sink, cfg)
+    attached_roll = None
     if args.rollup_dir is not None and args.mode in ("stream", "batch"):
         from nifi_daffodil_spark.sinks.rollup import ConvRollup
 
-        eng.attach_rollup(ConvRollup(spark, sink, args.rollup_dir))
+        attached_roll = ConvRollup(spark, sink, args.rollup_dir)
+        eng.attach_rollup(attached_roll)
     if args.mode == "stream":
         metrics_qs = []
         if args.metrics_stream:
@@ -225,7 +227,9 @@ def main(argv: list[str] | None = None) -> int:
             "rollup_applied": r["applied"],
             "rollup_epoch": r["epoch"],
             "rollup_buckets": r.get("buckets"),
-            "rollup_rows": roll.read().count(),
+            # rows in the buckets this refresh rewrote — O(changed), not a
+            # full O(|view|) scan just to print a count
+            "rollup_rows_written": r.get("rows_written"),
             "rollup_vacuumed": len(removed),
         }))
         spark.stop()
@@ -283,8 +287,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.conv_id is not None:
         summary["conv_id"] = args.conv_id
         summary["conv_rows"] = sink.read_conversation(args.conv_id).count()
-    if args.rollup_dir is not None and args.mode in ("stream", "batch"):
-        summary["rollup_rows"] = eng._rollup.read().count()
+    if attached_roll is not None:
+        # watermark only — counting the whole view would be O(|view|)
+        summary["rollup_epoch"] = attached_roll._read_manifest()["epoch"]
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -71,7 +71,14 @@ class ConvRollup:
         self.root = root
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
-            self._write_manifest({"epoch": None, "counter": 0, "buckets": {}})
+            # n_epochs = committed-epoch count at last refresh: an epoch
+            # committed OUT OF ORDER (id below the watermark, e.g.
+            # replay-quarantine into a gap id) is invisible to the
+            # (watermark, to] changelog range, so refresh detects the count
+            # mismatch and rebuilds instead of silently diverging
+            self._write_manifest(
+                {"epoch": None, "counter": 0, "buckets": {}, "n_epochs": 0}
+            )
 
     # ---- manifest (same atomic-swap protocol as the sink) -----------------
 
@@ -135,6 +142,14 @@ class ConvRollup:
             to_epoch = epochs[-1]
         m = self._read_manifest()
         last = m["epoch"]
+        # out-of-order commit detection: an epoch id AT OR BELOW the
+        # watermark (replay-quarantine into a gap id) is outside every
+        # future changelog range, so the incremental path can never see it.
+        # The committed-epoch count up to the watermark says whether one
+        # appeared since the last refresh; if so, rebuild from state.
+        n_le_last = sum(1 for e in epochs if last is not None and e <= last)
+        if last is not None and n_le_last != m.get("n_epochs", n_le_last):
+            return self._rebuild(to_epoch if to_epoch > last else epochs[-1])
         if last is not None and to_epoch <= last:
             return {"applied": False, "epoch": last}
         after = last if last is not None else epochs[0] - 1
@@ -145,13 +160,28 @@ class ConvRollup:
             return self._rebuild(to_epoch)
         # touched buckets come from the sink manifest (per-epoch metadata),
         # not a distinct() over the changelog — that would evaluate the
-        # whole delta-vs-as-of-state join once extra just to learn keys
-        touched = sorted({
-            int(b)
-            for e in epochs
-            if after < e <= to_epoch
-            for b in sink_m["epochs"][str(e)].get("buckets", [])
-        })
+        # whole delta-vs-as-of-state join once extra just to learn keys.
+        # Epoch entries from older tables may predate the buckets field
+        # (same legacy case read_changes handles); metadata can't answer
+        # then, so fall back to asking the changelog itself.
+        wanted = [e for e in epochs if after < e <= to_epoch]
+        if any("buckets" not in sink_m["epochs"][str(e)] for e in wanted):
+            touched = sorted(
+                r["b"]
+                for r in cl.select(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(self.sink.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = sorted({
+                int(b)
+                for e in wanted
+                for b in sink_m["epochs"][str(e)].get("buckets", [])
+            })
 
         dlen_after = F.coalesce(F.length(F.col("after.text")), F.lit(0)).cast("long")
         dlen_before = F.coalesce(F.length(F.col("before.text")), F.lit(0)).cast("long")
@@ -168,18 +198,32 @@ class ConvRollup:
                 .otherwise(dlen_after - dlen_before)
             ).alias("total_chars"),
         )
+        m["n_epochs"] = sum(1 for e in epochs if e <= to_epoch)
         return self._apply(m, deltas, to_epoch, touched=touched)
 
     def _rebuild(self, to_epoch: int) -> dict:
         """Full recompute from state — the lagging-consumer fallback. Writes
-        EVERY bucket (the view's epoch watermark is unknown-stale)."""
-        state = self.sink.read_transcripts(as_of_epoch=to_epoch)
+        EVERY bucket (the view's epoch watermark is unknown-stale).
+
+        When to_epoch is the LATEST committed id, read CURRENT state rather
+        than the as-of layout: after an out-of-order commit (gap id below
+        the max), the max id's layout predates the gap epoch's rows — the
+        view tracks state, not snapshot-id history."""
+        latest = max(
+            (int(e) for e in self.sink._read_manifest()["epochs"]), default=None
+        )
+        state = self.sink.read_transcripts(
+            as_of_epoch=None if to_epoch == latest else to_epoch
+        )
         rows = state.select(
             "conv_id",
             F.lit(1).cast("long").alias("n_turns"),
             F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("total_chars"),
         )
         m = self._read_manifest()
+        m["n_epochs"] = sum(
+            1 for e in self.sink._read_manifest()["epochs"] if int(e) <= to_epoch
+        )
         return self._apply(m, rows, to_epoch, touched=None)
 
     def _apply(
@@ -217,6 +261,11 @@ class ConvRollup:
             new.select(*_COLS, "bucket")
             .repartition("bucket")
             .write.partitionBy("bucket")
+            # overwrite: a crash AFTER this write but BEFORE the manifest
+            # swap leaves an orphan roll dir under the same not-yet-
+            # committed counter — the retry must supersede it, not fail
+            # with path-already-exists
+            .mode("overwrite")
             .parquet(os.path.join(self.root, "data", d))
         )
         # a touched bucket whose rows all vanished writes no partition dir:
@@ -231,19 +280,31 @@ class ConvRollup:
         m["counter"] = counter
         m["epoch"] = to_epoch
         self._write_manifest(m)  # the atomic commit
-        return {"applied": True, "epoch": to_epoch, "buckets": touched}
+        # O(changed): count only the rewritten dir, never the whole view
+        written = self._read_rollup_buckets(m, [b for b in touched
+                                                if m["buckets"].get(str(b)) == d])
+        n_rows = written.count() if written is not None else 0
+        return {"applied": True, "epoch": to_epoch, "buckets": touched,
+                "rows_written": n_rows}
 
     # ---- maintenance -------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, keep_last: int = 2) -> list[str]:
         """Remove roll-* dirs the manifest no longer references (superseded
-        versions and orphans from crashed refreshes)."""
+        versions and orphans from crashed refreshes). The newest
+        `keep_last` counters are exempt even when unreferenced: a
+        CONCURRENT refresh may have fully written its dir but not yet
+        swapped the manifest — deleting it would tear that commit (the
+        same counter-age grace the sink's vacuum applies)."""
         m = self._read_manifest()
         referenced = set(m["buckets"].values())
         removed = []
         data_dir = os.path.join(self.root, "data")
         for d in sorted(os.listdir(data_dir)):
-            if d.startswith("roll-") and d not in referenced:
-                shutil.rmtree(os.path.join(data_dir, d))
-                removed.append(d)
+            if not d.startswith("roll-") or d in referenced:
+                continue
+            if int(d.split("-")[1]) > m["counter"] - keep_last:
+                continue  # recent enough to be an in-flight commit
+            shutil.rmtree(os.path.join(data_dir, d))
+            removed.append(d)
         return removed

@@ -203,3 +203,45 @@ def test_rollup_catches_up_after_detached_epochs(spark, tmp_path):
         _events(spark, [(4, "U", "b", 0, "user", "yoo", None, TS)]), 3)
     assert roll._read_manifest()["epoch"] == 3
     assert _view(roll) == _recompute(eng.sink) == {"b": (1, 3)}
+
+
+def test_rollup_retry_supersedes_orphan_dir(spark, tmp_path):
+    """Crash between the data write and the manifest swap leaves a fully-
+    written roll dir under a counter that never committed — the retry must
+    overwrite it, not die on path-already-exists; and vacuum must NOT
+    reclaim a dir that recent (it may be an in-flight commit)."""
+    import os
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS)]), 0)
+    # fake the torn refresh: next counter's dir exists with stale content
+    orphan = tmp_path / "rollup" / "data" / "roll-000001" / "bucket=0"
+    os.makedirs(orphan)
+    (orphan / "junk.parquet").write_bytes(b"not parquet")
+    assert roll.vacuum() == []  # counter-age grace: could be in-flight
+    s = roll.refresh()
+    assert s["applied"] and s["rows_written"] == 1
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 5)}
+
+
+def test_rollup_out_of_order_epoch_triggers_rebuild(spark, tmp_path):
+    """An epoch committed with an id BELOW the view watermark (the
+    replay-quarantine-into-a-gap case) is invisible to every future
+    changelog range — refresh must detect the committed-epoch count
+    mismatch and rebuild from state instead of silently diverging."""
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS)]), 0)
+    eng.process_batch(
+        _events(spark, [(5, "I", "b", 0, "user", "yo", None, TS)]), 4)
+    roll.refresh()
+    assert roll._read_manifest()["epoch"] == 4
+    # a gap-id epoch lands below the watermark
+    eng.process_batch(
+        _events(spark, [(3, "I", "c", 0, "user", "zzz", None, TS)]), 2)
+    s = roll.refresh()
+    assert s["applied"]
+    assert _view(roll) == _recompute(eng.sink) == {
+        "a": (1, 5), "b": (1, 2), "c": (1, 3)}
+    # and the view is stable again afterwards
+    assert roll.refresh()["applied"] is False
