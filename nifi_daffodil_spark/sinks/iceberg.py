@@ -240,6 +240,56 @@ def changelog_sql(
     return [call, f"SELECT * FROM {view}"]
 
 
+def rollup_table_sql(rollup_table: str, n_buckets: int) -> str:
+    """DDL for the maintained per-conversation rollup (materialized view)
+    — the Iceberg analog of sinks/rollup.py's ConvRollup, bucket-partitioned
+    by the SAME scheme as the transcripts table so the delta MERGE below
+    only touches changed buckets' files."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {rollup_table} (\n"
+        "  conv_id string NOT NULL,\n"
+        "  n_turns bigint NOT NULL,\n"
+        "  total_chars bigint NOT NULL\n"
+        f") USING iceberg PARTITIONED BY (bucket({n_buckets}, conv_id))"
+    )
+
+
+def rollup_merge_sql(
+    rollup_table: str,
+    changelog_view: str = "cdc_changes",
+    source_view: str = "_rollup_deltas",
+) -> list[str]:
+    """Maintain the rollup from a changelog view (changelog_sql) instead of
+    recomputing it: fold the view's row images into per-conversation count/
+    char DELTAS (INSERT/UPDATE_AFTER add, DELETE/UPDATE_BEFORE retract —
+    only abelian-group aggregates maintain under retraction, the same
+    constraint sinks/rollup.py documents), then one MERGE applies them.
+    Returns [CREATE TEMP VIEW, MERGE]; pure builder, golden-tested like
+    merge_sql. Cost is O(changed conversations), never O(|rollup|)."""
+    deltas = (
+        f"CREATE OR REPLACE TEMPORARY VIEW {source_view} AS\n"
+        "SELECT conv_id,\n"
+        "  sum(CASE WHEN _change_type IN ('INSERT','UPDATE_AFTER')\n"
+        "      THEN 1 ELSE -1 END) AS dn,\n"
+        "  sum((CASE WHEN _change_type IN ('INSERT','UPDATE_AFTER')\n"
+        "      THEN 1 ELSE -1 END) * coalesce(length(text), 0)) AS dc\n"
+        f"FROM {changelog_view} GROUP BY conv_id"
+    )
+    merge = f"""
+            MERGE INTO {rollup_table} t
+            USING {source_view} s
+            ON t.conv_id = s.conv_id
+            WHEN MATCHED AND t.n_turns + s.dn <= 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              t.n_turns = t.n_turns + s.dn,
+              t.total_chars = t.total_chars + s.dc
+            WHEN NOT MATCHED AND s.dn > 0 THEN INSERT
+              (conv_id, n_turns, total_chars)
+              VALUES (s.conv_id, s.dn, s.dc)
+            """
+    return [deltas, merge]
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""

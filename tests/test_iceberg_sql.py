@@ -367,3 +367,48 @@ def test_epoch_applied_false_when_no_snapshot_carries_epoch():
     sink = _bare_sink(stub)
     assert sink.epoch_applied(5) is False
     assert "5" not in sink._applied
+
+
+def test_rollup_sql_golden():
+    from nifi_daffodil_spark.sinks.iceberg import rollup_merge_sql, rollup_table_sql
+
+    ddl = rollup_table_sql("lake.db.transcripts_rollup", 32)
+    assert "PARTITIONED BY (bucket(32, conv_id))" in ddl
+    assert "n_turns bigint NOT NULL" in ddl
+
+    deltas, merge = rollup_merge_sql("lake.db.transcripts_rollup")
+    # retraction algebra: AFTER images add, BEFORE/DELETE retract
+    assert "_change_type IN ('INSERT','UPDATE_AFTER')" in deltas
+    assert "GROUP BY conv_id" in deltas
+    # a conversation whose turns all vanish leaves the rollup, mirroring
+    # the parquet view's n_turns > 0 filter
+    assert "WHEN MATCHED AND t.n_turns + s.dn <= 0 THEN DELETE" in merge
+    assert "t.n_turns = t.n_turns + s.dn" in merge
+    # a pure-retraction delta for an unknown key must not insert
+    assert "WHEN NOT MATCHED AND s.dn > 0 THEN INSERT" in merge
+
+
+def test_rollup_merge_matches_parquet_view_semantics():
+    """Execute the delta-fold SQL on DuckDB over a synthetic changelog and
+    apply the MERGE arms by hand: the result must equal the parquet
+    ConvRollup algebra (I:+1/+len, D:-1/-len, U:+after-before)."""
+    import duckdb
+
+    from nifi_daffodil_spark.sinks.iceberg import rollup_merge_sql
+
+    deltas_sql, _ = rollup_merge_sql("t")
+    body = deltas_sql.split(" AS\n", 1)[1]
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE cdc_changes(conv_id varchar, text varchar,
+                                 _change_type varchar)""")
+    con.execute("""
+        INSERT INTO cdc_changes VALUES
+          ('a', 'hello', 'INSERT'),
+          ('a', 'hello', 'UPDATE_BEFORE'), ('a', 'hey', 'UPDATE_AFTER'),
+          ('b', 'yo', 'DELETE'),
+          ('c', NULL, 'INSERT')""")
+    got = {r[0]: (r[1], r[2]) for r in con.execute(body).fetchall()}
+    # a: insert(+1,+5) then update(0, 3-5) -> (1, 3); b: delete -> (-1, -2);
+    # c: insert with NULL text -> (+1, 0)
+    assert got == {"a": (1, 3), "b": (-1, -2), "c": (1, 0)}
