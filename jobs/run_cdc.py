@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tombstone-horizon", type=int, default=None,
                     help="maintenance: reclaim delete tombstones with "
                          "lsn < N (no smaller lsn can still arrive)")
+    ap.add_argument("--reshard-buckets", type=int, default=None,
+                    help="maintenance: PARTITION EVOLUTION — rewrite the "
+                         "table under a new bucket(conv_id) count (parquet "
+                         "sink; with --sink iceberg the plan is printed)")
     ap.add_argument("--sink", choices=["parquet", "iceberg"], default="parquet")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--salt", type=int, default=8)
@@ -115,18 +119,25 @@ def main(argv: list[str] | None = None) -> int:
         # an operator to run where the Iceberg runtime is loaded (the
         # sandbox has no jars). --vacuum-keep -> expire_snapshots
         # retain_last; --tombstone-horizon -> position-delete rewrite.
-        if args.tombstone_horizon is None and args.vacuum_keep is None:
-            ap.error("--mode maintenance needs --tombstone-horizon and/or "
-                     "--vacuum-keep")
-        from nifi_daffodil_spark.sinks.iceberg import maintenance_sql
+        if (args.tombstone_horizon is None and args.vacuum_keep is None
+                and args.reshard_buckets is None):
+            ap.error("--mode maintenance needs --tombstone-horizon, "
+                     "--vacuum-keep and/or --reshard-buckets")
+        from nifi_daffodil_spark.sinks.iceberg import maintenance_sql, reshard_sql
 
         try:
-            stmts = maintenance_sql(
-                args.table,
-                retain_last=args.vacuum_keep,
-                compact_deletes=args.tombstone_horizon is not None,
-                remove_orphans=True,
-            )
+            stmts = []
+            if args.reshard_buckets is not None:
+                stmts += reshard_sql(
+                    args.table, args.buckets, args.reshard_buckets
+                )
+            if args.tombstone_horizon is not None or args.vacuum_keep is not None:
+                stmts += maintenance_sql(
+                    args.table,
+                    retain_last=args.vacuum_keep,
+                    compact_deletes=args.tombstone_horizon is not None,
+                    remove_orphans=True,
+                )
         except ValueError as e:  # unqualified --table: clean CLI error
             ap.error(str(e))
         for stmt in stmts:
@@ -235,12 +246,18 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
     else:  # maintenance
-        if args.tombstone_horizon is None and args.vacuum_keep is None:
-            ap.error("--mode maintenance needs --tombstone-horizon and/or "
-                     "--vacuum-keep")
+        if (args.tombstone_horizon is None and args.vacuum_keep is None
+                and args.reshard_buckets is None):
+            ap.error("--mode maintenance needs --tombstone-horizon, "
+                     "--vacuum-keep and/or --reshard-buckets")
         if args.tombstone_horizon is not None:
             sink.compact_tombstones(args.tombstone_horizon)
             print(f"compacted tombstones below lsn {args.tombstone_horizon}")
+        if args.reshard_buckets is not None:
+            old_n = sink.n_buckets
+            sink.reshard(args.reshard_buckets)
+            print(f"resharded {old_n} -> {sink.n_buckets} buckets "
+                  f"(reopen with --buckets {sink.n_buckets})")
         if args.vacuum_keep is not None:
             removed = sink.vacuum(keep_last=args.vacuum_keep)
             print(f"vacuumed {len(removed)} dirs: {removed}")

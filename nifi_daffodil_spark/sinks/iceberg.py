@@ -240,6 +240,21 @@ def changelog_sql(
     return [call, f"SELECT * FROM {view}"]
 
 
+def reshard_sql(table: str, old_n_buckets: int, new_n_buckets: int) -> list[str]:
+    """Partition evolution plan: swap the bucket(conv_id) spec and rewrite
+    existing files under it (new data would otherwise keep landing in the
+    old layout until compaction). Pure builder, golden-tested; the parquet
+    sink's executable analog is ParquetStateSink.reshard()."""
+    catalog, rest = _split_catalog(table, "partition evolution")
+    return [
+        f"ALTER TABLE {table} REPLACE PARTITION FIELD "
+        f"bucket({int(old_n_buckets)}, conv_id) "
+        f"WITH bucket({int(new_n_buckets)}, conv_id)",
+        f"CALL {catalog}.system.rewrite_data_files(table => '{rest}', "
+        "options => map('rewrite-all','true'))",
+    ]
+
+
 def rollup_table_sql(rollup_table: str, n_buckets: int) -> str:
     """DDL for the maintained per-conversation rollup (materialized view)
     — the Iceberg analog of sinks/rollup.py's ConvRollup, bucket-partitioned

@@ -86,7 +86,24 @@ class ParquetStateSink(TranscriptSink):
         os.makedirs(os.path.join(root, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(root, "layouts"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
-            self._write_manifest({"counter": 0, "buckets": {}, "epochs": {}})
+            self._write_manifest(
+                {"counter": 0, "buckets": {}, "epochs": {},
+                 "n_buckets": n_buckets}
+            )
+        else:
+            # fail fast on a bucket-count mismatch: pmod(xxhash64(conv_id),
+            # WRONG n) silently mis-prunes point lookups and mis-partitions
+            # writes — the table's recorded count is authoritative, and
+            # reshard() is the sanctioned way to change it. Tables from
+            # before this field adopt the caller's value.
+            recorded = self._read_manifest().get("n_buckets")
+            if recorded is not None and int(recorded) != n_buckets:
+                raise ValueError(
+                    f"table at {root} is bucketed with n_buckets="
+                    f"{recorded}, but the sink was opened with "
+                    f"n_buckets={n_buckets} — open with the recorded count "
+                    "or reshard() the table"
+                )
 
     # ---- manifest ---------------------------------------------------------
 
@@ -399,19 +416,22 @@ class ParquetStateSink(TranscriptSink):
         with open(tmp, "w") as f:
             json.dump(
                 {"epoch": int(epoch_id), "snapshot_id": snapshot_id,
-                 "buckets": buckets},
+                 "buckets": buckets, "n_buckets": self.n_buckets},
                 f, sort_keys=True,
             )
         os.replace(tmp, self._layout_path(epoch_id))
 
     def _load_layout(self, epoch_id: int) -> dict | None:
         """Manifest-shaped {"buckets": ...} from an epoch's layout file, or
-        None if no layout exists (never committed / pruned)."""
+        None if no layout exists (never committed / pruned). n_buckets is
+        the bucket count the snapshot was written under (None on layouts
+        predating partition evolution)."""
         path = self._layout_path(epoch_id)
         if not os.path.exists(path):
             return None
         with open(path) as f:
-            return {"buckets": json.load(f)["buckets"]}
+            data = json.load(f)
+        return {"buckets": data["buckets"], "n_buckets": data.get("n_buckets")}
 
     def _manifest_as_of(self, epoch_id: int) -> dict:
         """Manifest-shaped view of the table AS OF the given epoch's commit,
@@ -600,9 +620,16 @@ class ParquetStateSink(TranscriptSink):
         })
         if str(int(after_epoch)) in m["epochs"]:
             lm = self._manifest_as_of(after_epoch)
-            old = self._read_buckets(
-                lm, [b for b in touched if str(b) in lm["buckets"]]
-            )
+            if lm.get("n_buckets") not in (None, self.n_buckets):
+                # the as-of snapshot predates a reshard(): its bucket ids
+                # live in a different hash space than `touched`, so pruning
+                # by id would silently drop old images — read the whole
+                # old snapshot instead (correct, costs one full as-of scan;
+                # consumers should drain changelogs before resharding)
+                wanted_b = list(lm["buckets"])
+            else:
+                wanted_b = [b for b in touched if str(b) in lm["buckets"]]
+            old = self._read_buckets(lm, [int(b) for b in wanted_b])
             if old is not None:
                 old = self._fold(old)
         elif epochs and after_epoch < epochs[0]:
@@ -705,6 +732,39 @@ class ParquetStateSink(TranscriptSink):
         }
         m["counter"] = counter
         self._write_manifest(m)
+
+    def reshard(self, new_n_buckets: int) -> None:
+        """PARTITION EVOLUTION (the Iceberg REPLACE PARTITION FIELD
+        bucket(N, conv_id) analog): rewrite current state under a new
+        bucket count — the sanctioned response to a table outgrowing (or
+        rattling around in) its bucket sizing. One fold + one partitioned
+        write, same cost shape as a full compaction; committed atomically
+        by the manifest swap. Old epochs' layouts keep their own recorded
+        n_buckets, so time travel still reproduces them and the changelog
+        read detects the boundary instead of mis-pruning."""
+        if new_n_buckets == self.n_buckets:
+            return
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        m = self._read_manifest()
+        df = self._read_buckets(m, [int(b) for b in m["buckets"]])
+        counter = m["counter"] + 1
+        if df is not None:
+            folded = self._fold(df).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("conv_id"), F.lit(new_n_buckets)).cast("int"),
+            )
+            snap = f"snap-{counter:06d}"
+            written = self._write_partitioned(
+                folded, os.path.join(self.root, "data", snap), sort=True
+            )
+            m["buckets"] = {
+                str(b): {"base": snap, "runs": [], "deltas": []} for b in written
+            }
+        m["counter"] = counter
+        m["n_buckets"] = new_n_buckets
+        self._write_manifest(m)  # the atomic commit
+        self.n_buckets = new_n_buckets
 
     def vacuum(self, keep_last: int = 4) -> list[str]:
         """Remove snap/delta dirs no bucket references, older than

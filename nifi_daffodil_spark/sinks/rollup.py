@@ -77,7 +77,8 @@ class ConvRollup:
             # (watermark, to] changelog range, so refresh detects the count
             # mismatch and rebuilds instead of silently diverging
             self._write_manifest(
-                {"epoch": None, "counter": 0, "buckets": {}, "n_epochs": 0}
+                {"epoch": None, "counter": 0, "buckets": {}, "n_epochs": 0,
+                 "n_buckets": sink.n_buckets}
             )
 
     # ---- manifest (same atomic-swap protocol as the sink) -----------------
@@ -142,6 +143,11 @@ class ConvRollup:
             to_epoch = epochs[-1]
         m = self._read_manifest()
         last = m["epoch"]
+        # partition-evolution detection: after the sink reshard()s, the
+        # view's bucket ids live in the old hash space — every mapping is
+        # stale, so rebuild under the new scheme
+        if m.get("n_buckets", self.sink.n_buckets) != self.sink.n_buckets:
+            return self._rebuild(epochs[-1])
         # out-of-order commit detection: an epoch id AT OR BELOW the
         # watermark (replay-quarantine into a gap id) is outside every
         # future changelog range, so the incremental path can never see it.
@@ -238,6 +244,11 @@ class ConvRollup:
         if touched is None:
             old = None
             touched = list(range(self.sink.n_buckets))
+            # a rebuild REDEFINES the whole view: stale mappings (e.g.
+            # old-hash-space bucket ids after a reshard, or ids beyond a
+            # SHRUNK bucket count) must not survive and resurrect rows
+            m["buckets"] = {}
+            m["n_buckets"] = self.sink.n_buckets
         else:
             if not touched:
                 m["epoch"] = to_epoch

@@ -412,3 +412,17 @@ def test_rollup_merge_matches_parquet_view_semantics():
     # a: insert(+1,+5) then update(0, 3-5) -> (1, 3); b: delete -> (-1, -2);
     # c: insert with NULL text -> (+1, 0)
     assert got == {"a": (1, 3), "b": (-1, -2), "c": (1, 0)}
+
+
+def test_reshard_sql_golden():
+    from nifi_daffodil_spark.sinks.iceberg import reshard_sql
+
+    alter, rewrite = reshard_sql("lake.db.transcripts", 32, 64)
+    assert alter == (
+        "ALTER TABLE lake.db.transcripts REPLACE PARTITION FIELD "
+        "bucket(32, conv_id) WITH bucket(64, conv_id)"
+    )
+    assert rewrite == (
+        "CALL lake.system.rewrite_data_files(table => 'db.transcripts', "
+        "options => map('rewrite-all','true'))"
+    )

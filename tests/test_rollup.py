@@ -245,3 +245,27 @@ def test_rollup_out_of_order_epoch_triggers_rebuild(spark, tmp_path):
         "a": (1, 5), "b": (1, 2), "c": (1, 3)}
     # and the view is stable again afterwards
     assert roll.refresh()["applied"] is False
+
+
+def test_rollup_rebuilds_after_reshard(spark, tmp_path):
+    """Partition evolution invalidates every rollup bucket mapping (old
+    hash space) — the next refresh must rebuild under the new scheme and
+    drop stale mappings even when the count SHRINKS."""
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS),
+                        (2, "I", "b", 0, "user", "yo", None, TS)]), 0)
+    roll.refresh()
+    eng.sink.reshard(2)
+    eng2 = CdcEngine(spark, eng.sink, EngineConfig(n_buckets=2, n_salt=4))
+    eng2.process_batch(
+        _events(spark, [(3, "U", "a", 0, "user", "hey", None, TS)]), 1)
+    s = roll.refresh()
+    assert s["applied"]
+    m = roll._read_manifest()
+    assert m["n_buckets"] == 2
+    assert all(int(b) < 2 for b in m["buckets"])  # no stale old-space ids
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 3), "b": (1, 2)}
