@@ -167,6 +167,11 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--conv-id needs --mode read and the parquet sink")
     if args.mode == "rollup" and args.rollup_dir is None:
         ap.error("--mode rollup needs --rollup-dir")
+    if args.reshard_buckets is not None:
+        if args.mode != "maintenance":
+            ap.error("--reshard-buckets only applies to --mode maintenance")
+        if args.reshard_buckets < 1:
+            ap.error(f"--reshard-buckets must be >= 1, got {args.reshard_buckets}")
     if args.rollup_dir is not None and args.sink != "parquet":
         ap.error("--rollup-dir needs the parquet sink (the view reads its "
                  "changelog)")
@@ -250,14 +255,19 @@ def main(argv: list[str] | None = None) -> int:
                 and args.reshard_buckets is None):
             ap.error("--mode maintenance needs --tombstone-horizon, "
                      "--vacuum-keep and/or --reshard-buckets")
-        if args.tombstone_horizon is not None:
-            sink.compact_tombstones(args.tombstone_horizon)
-            print(f"compacted tombstones below lsn {args.tombstone_horizon}")
         if args.reshard_buckets is not None:
+            # one combined rewrite: resharding folds the whole table anyway,
+            # so the tombstone horizon rides the same pass for free
             old_n = sink.n_buckets
-            sink.reshard(args.reshard_buckets)
+            sink.reshard(args.reshard_buckets,
+                         lsn_horizon=args.tombstone_horizon)
+            if args.tombstone_horizon is not None:
+                print(f"compacted tombstones below lsn {args.tombstone_horizon}")
             print(f"resharded {old_n} -> {sink.n_buckets} buckets "
                   f"(reopen with --buckets {sink.n_buckets})")
+        elif args.tombstone_horizon is not None:
+            sink.compact_tombstones(args.tombstone_horizon)
+            print(f"compacted tombstones below lsn {args.tombstone_horizon}")
         if args.vacuum_keep is not None:
             removed = sink.vacuum(keep_last=args.vacuum_keep)
             print(f"vacuumed {len(removed)} dirs: {removed}")

@@ -377,7 +377,10 @@ class ParquetStateSink(TranscriptSink):
             # compactions that rewrite the CURRENT layout. A crash between
             # here and _write_manifest leaves an orphan layout file —
             # harmless, and the epoch retry overwrites it.
-            self._write_layout(epoch_id, snapshot_id, manifest["buckets"])
+            self._write_layout(
+                epoch_id, snapshot_id, manifest["buckets"],
+                gen=manifest.get("bucket_gen", 0),
+            )
             self._write_manifest(manifest)  # the atomic commit
             return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id,
                     "buckets": touched}
@@ -411,27 +414,37 @@ class ParquetStateSink(TranscriptSink):
     def _layout_path(self, epoch_id: int) -> str:
         return os.path.join(self.root, "layouts", f"epoch-{int(epoch_id):08d}.json")
 
-    def _write_layout(self, epoch_id: int, snapshot_id: str, buckets: dict) -> None:
+    def _write_layout(
+        self, epoch_id: int, snapshot_id: str, buckets: dict, gen: int
+    ) -> None:
         tmp = self._layout_path(epoch_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {"epoch": int(epoch_id), "snapshot_id": snapshot_id,
-                 "buckets": buckets, "n_buckets": self.n_buckets},
+                 "buckets": buckets, "n_buckets": self.n_buckets,
+                 "bucket_gen": gen},
                 f, sort_keys=True,
             )
         os.replace(tmp, self._layout_path(epoch_id))
 
     def _load_layout(self, epoch_id: int) -> dict | None:
         """Manifest-shaped {"buckets": ...} from an epoch's layout file, or
-        None if no layout exists (never committed / pruned). n_buckets is
-        the bucket count the snapshot was written under (None on layouts
-        predating partition evolution)."""
+        None if no layout exists (never committed / pruned). bucket_gen is
+        the hash-space GENERATION the snapshot was committed under —
+        incremented by every reshard(), so two artifacts share a bucket-id
+        space iff their gens are equal. Artifacts predating partition
+        evolution carry no gen and default to 0, which is correct: a table
+        that has never resharded is still generation 0."""
         path = self._layout_path(epoch_id)
         if not os.path.exists(path):
             return None
         with open(path) as f:
             data = json.load(f)
-        return {"buckets": data["buckets"], "n_buckets": data.get("n_buckets")}
+        return {
+            "buckets": data["buckets"],
+            "n_buckets": data.get("n_buckets"),
+            "bucket_gen": data.get("bucket_gen", 0),
+        }
 
     def _manifest_as_of(self, epoch_id: int) -> dict:
         """Manifest-shaped view of the table AS OF the given epoch's commit,
@@ -620,12 +633,15 @@ class ParquetStateSink(TranscriptSink):
         })
         if str(int(after_epoch)) in m["epochs"]:
             lm = self._manifest_as_of(after_epoch)
-            if lm.get("n_buckets") not in (None, self.n_buckets):
-                # the as-of snapshot predates a reshard(): its bucket ids
-                # live in a different hash space than `touched`, so pruning
-                # by id would silently drop old images — read the whole
-                # old snapshot instead (correct, costs one full as-of scan;
-                # consumers should drain changelogs before resharding)
+            if lm.get("bucket_gen", 0) != m.get("bucket_gen", 0):
+                # a reshard() happened somewhere after the as-of snapshot
+                # (generations are monotonic, so equality proves the whole
+                # range shares one bucket-id hash space): `touched` ids may
+                # be in a different space than the layout's — pruning by id
+                # would silently drop old images, so read the whole old
+                # snapshot instead (correct, costs one full as-of scan;
+                # consumers should drain changelogs before resharding).
+                # Covers legacy artifacts too: both sides default to gen 0.
                 wanted_b = list(lm["buckets"])
             else:
                 wanted_b = [b for b in touched if str(b) in lm["buckets"]]
@@ -710,50 +726,30 @@ class ParquetStateSink(TranscriptSink):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(*files)
 
-    def compact_tombstones(self, lsn_horizon: int) -> None:
-        """Reclaim delete tombstones whose lsn is older than the replay
-        horizon (no event with a smaller lsn can still arrive). Rewrites
-        every bucket once — run this as an offline maintenance pass, like
-        Iceberg's rewrite_data_files."""
-        m = self._read_manifest()
-        buckets = [int(b) for b in m["buckets"]]
-        df = self._read_buckets(m, buckets)
-        if df is None:
-            return
-        folded = self._fold(df)  # compacts every delta chain as a side effect
-        kept = folded.filter(~((F.col("op") == "D") & (F.col("lsn") < lsn_horizon)))
-        counter = m["counter"] + 1
-        snap = f"snap-{counter:06d}"
-        written = self._write_partitioned(
-            kept, os.path.join(self.root, "data", snap), sort=True
-        )
-        m["buckets"] = {
-            str(b): {"base": snap, "runs": [], "deltas": []} for b in written
-        }
-        m["counter"] = counter
-        self._write_manifest(m)
-
-    def reshard(self, new_n_buckets: int) -> None:
-        """PARTITION EVOLUTION (the Iceberg REPLACE PARTITION FIELD
-        bucket(N, conv_id) analog): rewrite current state under a new
-        bucket count — the sanctioned response to a table outgrowing (or
-        rattling around in) its bucket sizing. One fold + one partitioned
-        write, same cost shape as a full compaction; committed atomically
-        by the manifest swap. Old epochs' layouts keep their own recorded
-        n_buckets, so time travel still reproduces them and the changelog
-        read detects the boundary instead of mis-pruning."""
-        if new_n_buckets == self.n_buckets:
-            return
-        if new_n_buckets < 1:
-            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+    def _rewrite_all(
+        self,
+        new_n_buckets: int | None = None,
+        lsn_horizon: int | None = None,
+    ) -> None:
+        """ONE full-table rewrite serving both maintenance shapes (a single
+        commit protocol to keep correct, and combining them costs one fold
+        instead of two back-to-back table rewrites): fold every bucket,
+        optionally drop expired tombstones, optionally re-bucket under a
+        new count, write one snap, swap the manifest atomically."""
         m = self._read_manifest()
         df = self._read_buckets(m, [int(b) for b in m["buckets"]])
-        counter = m["counter"] + 1
         if df is not None:
-            folded = self._fold(df).withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("conv_id"), F.lit(new_n_buckets)).cast("int"),
-            )
+            folded = self._fold(df)  # compacts every delta chain too
+            if lsn_horizon is not None:
+                folded = folded.filter(
+                    ~((F.col("op") == "D") & (F.col("lsn") < lsn_horizon))
+                )
+            if new_n_buckets is not None:
+                folded = folded.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("conv_id"), F.lit(new_n_buckets)).cast("int"),
+                )
+            counter = m["counter"] + 1
             snap = f"snap-{counter:06d}"
             written = self._write_partitioned(
                 folded, os.path.join(self.root, "data", snap), sort=True
@@ -761,10 +757,44 @@ class ParquetStateSink(TranscriptSink):
             m["buckets"] = {
                 str(b): {"base": snap, "runs": [], "deltas": []} for b in written
             }
-        m["counter"] = counter
-        m["n_buckets"] = new_n_buckets
+            m["counter"] = counter
+        if new_n_buckets is not None:
+            m["n_buckets"] = new_n_buckets
+            # new hash space: artifacts recorded under different gens must
+            # never be bucket-id-compared (read_changelog's prune guard)
+            m["bucket_gen"] = m.get("bucket_gen", 0) + 1
         self._write_manifest(m)  # the atomic commit
-        self.n_buckets = new_n_buckets
+        if new_n_buckets is not None:
+            self.n_buckets = new_n_buckets
+
+    def compact_tombstones(self, lsn_horizon: int) -> None:
+        """Reclaim delete tombstones whose lsn is older than the replay
+        horizon (no event with a smaller lsn can still arrive). Rewrites
+        every bucket once — run this as an offline maintenance pass, like
+        Iceberg's rewrite_data_files."""
+        self._rewrite_all(lsn_horizon=lsn_horizon)
+
+    def reshard(
+        self, new_n_buckets: int, lsn_horizon: int | None = None
+    ) -> None:
+        """PARTITION EVOLUTION (the Iceberg REPLACE PARTITION FIELD
+        bucket(N, conv_id) analog): rewrite current state under a new
+        bucket count — the sanctioned response to a table outgrowing (or
+        rattling around in) its bucket sizing. One fold + one partitioned
+        write, same cost shape as a full compaction (pass lsn_horizon to
+        reclaim tombstones in the same rewrite); committed atomically by
+        the manifest swap. The bucket GENERATION bump makes every older
+        epoch's bucket ids non-comparable, so time travel still reproduces
+        old snapshots and cross-boundary changelog reads detect the new
+        hash space instead of mis-pruning."""
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        if new_n_buckets == self.n_buckets:
+            # no-op reshard must not silently drop a requested compaction
+            if lsn_horizon is not None:
+                self._rewrite_all(lsn_horizon=lsn_horizon)
+            return
+        self._rewrite_all(new_n_buckets=new_n_buckets, lsn_horizon=lsn_horizon)
 
     def vacuum(self, keep_last: int = 4) -> list[str]:
         """Remove snap/delta dirs no bucket references, older than

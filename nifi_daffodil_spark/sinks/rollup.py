@@ -145,9 +145,12 @@ class ConvRollup:
         last = m["epoch"]
         # partition-evolution detection: after the sink reshard()s, the
         # view's bucket ids live in the old hash space — every mapping is
-        # stale, so rebuild under the new scheme
-        if m.get("n_buckets", self.sink.n_buckets) != self.sink.n_buckets:
-            return self._rebuild(epochs[-1])
+        # stale, so rebuild under the new scheme. A manifest MISSING the
+        # field (predates this check) must count as a mismatch: defaulting
+        # to the current count would make the check a tautology and let a
+        # resharded view diverge silently forever.
+        if m.get("n_buckets") != self.sink.n_buckets:
+            return self._rebuild(to_epoch)
         # out-of-order commit detection: an epoch id AT OR BELOW the
         # watermark (replay-quarantine into a gap id) is outside every
         # future changelog range, so the incremental path can never see it.
@@ -248,10 +251,10 @@ class ConvRollup:
             # old-hash-space bucket ids after a reshard, or ids beyond a
             # SHRUNK bucket count) must not survive and resurrect rows
             m["buckets"] = {}
-            m["n_buckets"] = self.sink.n_buckets
         else:
             if not touched:
                 m["epoch"] = to_epoch
+                m["n_buckets"] = self.sink.n_buckets
                 self._write_manifest(m)
                 return {"applied": True, "epoch": to_epoch, "buckets": []}
             old = self._read_rollup_buckets(m, touched)
@@ -290,6 +293,7 @@ class ConvRollup:
                 m["buckets"].pop(str(b), None)
         m["counter"] = counter
         m["epoch"] = to_epoch
+        m["n_buckets"] = self.sink.n_buckets
         self._write_manifest(m)  # the atomic commit
         # O(changed): count only the rewritten dir, never the whole view
         written = self._read_rollup_buckets(m, [b for b in touched

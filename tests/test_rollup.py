@@ -269,3 +269,31 @@ def test_rollup_rebuilds_after_reshard(spark, tmp_path):
     assert m["n_buckets"] == 2
     assert all(int(b) < 2 for b in m["buckets"])  # no stale old-space ids
     assert _view(roll) == _recompute(eng.sink) == {"a": (1, 3), "b": (1, 2)}
+
+
+def test_rollup_legacy_manifest_rebuilds_after_reshard(spark, tmp_path):
+    """A rollup manifest from before the n_buckets stamp (key absent) must
+    count as a hash-space MISMATCH after a sink reshard — defaulting the
+    missing key to the current count would make detection a tautology and
+    let the view diverge forever."""
+    import json
+
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+
+    eng, roll = _setup(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "hello", None, TS),
+                        (2, "I", "b", 0, "user", "yo", None, TS)]), 0)
+    roll.refresh()
+    # simulate a legacy view: strip the stamp
+    m = roll._read_manifest()
+    m.pop("n_buckets")
+    roll._write_manifest(m)
+    eng.sink.reshard(2)
+    eng2 = CdcEngine(spark, eng.sink, EngineConfig(n_buckets=2, n_salt=4))
+    eng2.process_batch(
+        _events(spark, [(3, "U", "a", 0, "user", "heyhey", None, TS)]), 1)
+    roll.refresh()
+    assert roll._read_manifest()["n_buckets"] == 2
+    assert _view(roll) == _recompute(eng.sink) == {"a": (1, 6), "b": (1, 2)}

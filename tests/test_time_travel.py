@@ -144,7 +144,7 @@ def test_orphan_layout_from_torn_commit_is_not_trusted(spark, tmp_path):
         _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS)]), 0)
     sink = eng.sink
     # simulate the torn commit: layout exists, manifest never swapped
-    sink._write_layout(99, "snap-torn", sink._read_manifest()["buckets"])
+    sink._write_layout(99, "snap-torn", sink._read_manifest()["buckets"], gen=0)
     import pytest as _pytest
     with _pytest.raises(LookupError, match="never committed"):
         sink.read_transcripts(as_of_epoch=99).collect()
@@ -253,3 +253,50 @@ def test_reshard_partition_evolution(spark, tmp_path):
         ParquetStateSink(spark, str(tmp_path / "table"), n_buckets=8)
     # correct count reopens fine
     ParquetStateSink(spark, str(tmp_path / "table"), n_buckets=16)
+
+
+def test_changelog_correct_across_roundtrip_reshard(spark, tmp_path):
+    """Round-trip partition evolution (8 -> 4 -> 8): the bucket COUNT ends
+    where it started but the intermediate epochs' recorded bucket ids live
+    in a different hash space. The generation check (not a count check)
+    must force the changelog's old-image read to scan the whole as-of
+    snapshot instead of pruning with cross-space ids."""
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS),
+                        (2, "I", "b", 0, "user", "b1", None, TS)]), 0)
+    eng.sink.reshard(4)
+    eng4 = CdcEngine(spark, eng.sink, EngineConfig(n_buckets=4, n_salt=4))
+    eng4.process_batch(
+        _events(spark, [(3, "U", "a", 0, "user", "v2", None, TS)]), 1)
+    eng.sink.reshard(8)
+    eng8 = CdcEngine(spark, eng.sink, EngineConfig(n_buckets=8, n_salt=4))
+    eng8.process_batch(
+        _events(spark, [(4, "D", "b", 0, None, None, None, TS)]), 2)
+    rows = {r["conv_id"]: r for r in eng.sink.read_changelog(0, 2).collect()}
+    # a's update crossed the 4-space epoch; b's delete needs its old image
+    assert rows["a"]["change"] == "U" and rows["a"]["before"]["text"] == "v1"
+    assert rows["b"]["change"] == "D" and rows["b"]["before"]["text"] == "b1"
+
+
+def test_reshard_with_tombstone_horizon_single_rewrite(spark, tmp_path):
+    """reshard(n, lsn_horizon=...) reclaims tombstones in the SAME fold,
+    and a no-op reshard must not silently drop the requested compaction."""
+    eng = _engine(spark, tmp_path)
+    eng.process_batch(
+        _events(spark, [(1, "I", "a", 0, "user", "v1", None, TS),
+                        (2, "D", "a", 0, None, None, None, TS)]), 0)
+    # tombstone present in raw state
+    m = eng.sink._read_manifest()
+    raw = eng.sink._read_buckets(m, [int(b) for b in m["buckets"]])
+    assert raw.filter("op = 'D'").count() == 1
+    eng.sink.reshard(16, lsn_horizon=100)
+    m2 = eng.sink._read_manifest()
+    raw2 = eng.sink._read_buckets(m2, [int(b) for b in m2["buckets"]])
+    assert raw2 is None or raw2.filter("op = 'D'").count() == 0
+    # no-op reshard still honors the horizon
+    eng.sink.reshard(16, lsn_horizon=100)  # must not raise / skip silently
+    assert eng.sink.n_buckets == 16
