@@ -44,8 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode",
                     choices=["stream", "batch", "replay-quarantine",
-                             "maintenance", "read", "rollup"],
+                             "maintenance", "read", "rollup", "retention"],
                     default="stream")
+    ap.add_argument("--older-than", default=None, metavar="ISO_TS",
+                    help="--mode retention: expire conversations whose "
+                         "LATEST activity predates this ISO timestamp "
+                         "(tombstones via the normal epoch path — needs "
+                         "--epoch-id; parquet sink only)")
     ap.add_argument("--rollup-dir", default=None, metavar="DIR",
                     help="root dir of the maintained per-conversation "
                          "rollup view (parquet sink only). With --mode "
@@ -172,6 +177,21 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--reshard-buckets only applies to --mode maintenance")
         if args.reshard_buckets < 1:
             ap.error(f"--reshard-buckets must be >= 1, got {args.reshard_buckets}")
+    cutoff_ts = None
+    if args.mode == "retention":
+        if args.older_than is None or args.epoch_id is None:
+            ap.error("--mode retention needs --older-than and --epoch-id")
+        if args.sink != "parquet":
+            ap.error("--mode retention needs the parquet sink")
+        import datetime as _dt
+
+        try:
+            cutoff_ts = _dt.datetime.fromisoformat(args.older_than)
+        except ValueError:
+            ap.error(f"--older-than must be an ISO timestamp, got "
+                     f"{args.older_than!r}")
+    elif args.older_than is not None:
+        ap.error("--older-than only applies to --mode retention")
     if args.rollup_dir is not None and args.sink != "parquet":
         ap.error("--rollup-dir needs the parquet sink (the view reads its "
                  "changelog)")
@@ -231,6 +251,10 @@ def main(argv: list[str] | None = None) -> int:
             else None
         )
         eng.replay_quarantine(args.epoch_id, epochs)
+    elif args.mode == "retention":
+        st = eng.apply_retention(cutoff_ts, args.epoch_id)
+        print(f"retention epoch {args.epoch_id}: "
+              f"{st.rows_in} tombstones{' (skipped)' if st.skipped else ''}")
     elif args.mode == "read":
         pass  # no ingest work; the summary below does the (time-travel) read
     elif args.mode == "rollup":

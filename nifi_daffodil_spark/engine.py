@@ -259,6 +259,71 @@ class CdcEngine:
         events = events.localCheckpoint(eager=True)
         return self.process_batch(events, epoch_id)
 
+    def apply_retention(
+        self, cutoff_ts, epoch_id: int
+    ) -> EpochStats:
+        """Expire whole conversations whose LATEST activity predates
+        cutoff_ts (retention / right-to-be-forgotten): generate one
+        tombstone event per live turn of each expired conversation and run
+        it through the NORMAL epoch pipeline — so exactly-once, the
+        changelog's delete-with-before-image, lineage, and any attached
+        rollup's retraction all hold without special cases, exactly like a
+        WAL-delivered delete. Tombstone lsns are max(state lsn) + 1: they
+        win LWW over everything current, while a genuinely newer event
+        arriving later still resurrects its key (retention is as-of now,
+        not a fence on the future). Tombstones themselves are reclaimed by
+        the usual compact_tombstones() horizon. Idempotent like any epoch.
+
+        Conversation granularity (max(ts) per conv_id, not per turn):
+        expiring single turns of a live conversation would corrupt it."""
+        if self.sink.epoch_applied(epoch_id):
+            st = EpochStats(epoch=epoch_id, skipped=True)
+            self.stats.append(st)
+            return st
+        from pyspark.sql import Window
+
+        if not hasattr(self.sink, "read_state"):
+            raise NotImplementedError(
+                "retention needs the sink's lsn-bearing state read "
+                "(ParquetStateSink.read_state); for Iceberg, generate the "
+                "tombstone batch from the table directly"
+            )
+        raw = self.sink.read_state()  # folded, tombstones INCLUDED
+        if raw is None:
+            st = EpochStats(epoch=epoch_id, skipped=True)
+            self.stats.append(st)
+            return st
+        # global max lsn (tombstones included — an existing tombstone may
+        # hold it) as a SCALAR: partial-aggregated, parquet stats serve it;
+        # an unpartitioned window here would funnel state into one partition
+        row = raw.agg(F.max("lsn").alias("m")).collect()[0]
+        if row["m"] is None:
+            st = EpochStats(epoch=epoch_id, skipped=True)
+            self.stats.append(st)
+            return st
+        fence_lsn = int(row["m"]) + 1
+        state = raw.filter(F.col("op") != "D")
+        conv_max = F.max("ts").over(Window.partitionBy("conv_id"))
+        events = (
+            state.withColumn("_conv_max_ts", conv_max)
+            .filter(F.col("_conv_max_ts") < F.lit(cutoff_ts))
+            .select(
+                F.lit(fence_lsn).alias("lsn"),
+                F.lit("D").alias("op"),
+                "conv_id",
+                "turn_idx",
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.col("ts"),
+            )
+        )
+        # the state read and the sink write share directories; materialize
+        # the tombstone batch before the pipeline overwrites anything under
+        # it (same rule as replay_quarantine's eager checkpoint)
+        events = events.localCheckpoint(eager=True)
+        return self.process_batch(events, epoch_id)
+
     # ---- batch replay -----------------------------------------------------
 
     def replay_segments(self, segment_groups: list[tuple[list[str], str]],

@@ -350,3 +350,75 @@ def test_read_conversation_pruned_point_lookup(spark, tmp_path):
     assert "EqualTo(conv_id,c05)" in analyzed
     # a conv that hashes elsewhere must not be served from this bucket
     assert eng.sink.read_conversation("no-such-conv").count() == 0
+
+
+def test_retention_expires_stale_conversations(spark, tmp_path):
+    """apply_retention tombstones whole conversations whose latest activity
+    predates the cutoff, through the normal epoch path: exactly-once,
+    changelog before-images, rollup retraction, and LWW fencing all hold."""
+    import datetime as dt
+
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+    from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+    from nifi_daffodil_spark.sinks.rollup import ConvRollup
+
+    old_ts = dt.datetime(2024, 1, 1)
+    new_ts = dt.datetime(2024, 6, 1)
+    cutoff = dt.datetime(2024, 3, 1)
+    sink = ParquetStateSink(spark, str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4))
+    roll = ConvRollup(spark, sink, str(tmp_path / "roll"))
+    eng.attach_rollup(roll)
+    ev = spark.createDataFrame(
+        [(1, "I", "stale", 0, "user", "bye", None, old_ts),
+         (2, "I", "stale", 1, "assistant", "cya", None, old_ts),
+         # conversation with ONE old turn but recent activity: must survive
+         (3, "I", "live", 0, "user", "old turn", None, old_ts),
+         (4, "I", "live", 1, "assistant", "recent", None, new_ts)],
+        "lsn long, op string, conv_id string, turn_idx long, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    eng.process_batch(ev, 0)
+
+    st = eng.apply_retention(cutoff, 1)
+    assert not st.skipped and st.rows_in == 2  # both stale turns tombstoned
+    got = {(r["conv_id"], r["turn_idx"]) for r in sink.read_transcripts().collect()}
+    assert got == {("live", 0), ("live", 1)}
+    # view retracted in the same epoch
+    view = {r["conv_id"]: r["n_turns"] for r in roll.read().collect()}
+    assert view == {"live": 2}
+    # changelog carries the delete with its before image
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in sink.read_changelog(0, 1).collect()}
+    assert rows[("stale", 0)]["change"] == "D"
+    assert rows[("stale", 0)]["before"]["text"] == "bye"
+    # idempotent: re-applying the epoch is a no-op
+    assert eng.apply_retention(cutoff, 1).skipped
+    assert sink.read_transcripts().count() == 2
+
+    # LWW fencing: a LATE event older than the fence stays dead; a genuinely
+    # newer one resurrects its conversation (retention is as-of now)
+    late = spark.createDataFrame(
+        [(3, "U", "stale", 0, "user", "too late", None, old_ts)],
+        ev.schema)
+    eng.process_batch(late, 2)
+    assert sink.read_transcripts().count() == 2
+    fresh = spark.createDataFrame(
+        [(99, "I", "stale", 0, "user", "back", None, new_ts)],
+        ev.schema)
+    eng.process_batch(fresh, 3)
+    texts = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in sink.read_transcripts().collect()}
+    assert texts[("stale", 0)] == "back"
+
+
+def test_retention_on_empty_table_skips(spark, tmp_path):
+    import datetime as dt
+
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+    from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+    sink = ParquetStateSink(spark, str(tmp_path / "t"), n_buckets=8)
+    eng = CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4))
+    assert eng.apply_retention(dt.datetime(2024, 1, 1), 0).skipped
