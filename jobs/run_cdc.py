@@ -74,8 +74,9 @@ def main(argv: list[str] | None = None) -> int:
                          "conversation's turns via bucket-pruned scan "
                          "(parquet sink only)")
     ap.add_argument("--epoch-id", type=int, default=None,
-                    help="epoch id for --mode replay-quarantine (must be "
-                         "unused; committed ids are no-ops)")
+                    help="epoch id for --mode replay-quarantine and "
+                         "--mode retention (must be unused; committed ids "
+                         "are no-ops)")
     ap.add_argument("--quarantine-epochs", default=None,
                     help="comma-separated quarantine epochs to retry "
                          "(default all) for --mode replay-quarantine")
@@ -214,7 +215,8 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = CdcEngine(spark, sink, cfg)
     attached_roll = None
-    if args.rollup_dir is not None and args.mode in ("stream", "batch"):
+    if args.rollup_dir is not None and args.mode in ("stream", "batch",
+                                                     "retention"):
         from nifi_daffodil_spark.sinks.rollup import ConvRollup
 
         attached_roll = ConvRollup(spark, sink, args.rollup_dir)

@@ -271,11 +271,18 @@ class CdcEngine:
         WAL-delivered delete. Tombstone lsns are max(state lsn) + 1: they
         win LWW over everything current, while a genuinely newer event
         arriving later still resurrects its key (retention is as-of now,
-        not a fence on the future). Tombstones themselves are reclaimed by
-        the usual compact_tombstones() horizon. Idempotent like any epoch.
+        not a fence on the future) — at a COLLIDING lsn (the producer's
+        next dense lsn can equal the fence) the genuine event wins by the
+        fold's deterministic tiebreak. Tombstones themselves are reclaimed
+        by the usual compact_tombstones() horizon. Idempotent like any
+        epoch.
 
         Conversation granularity (max(ts) per conv_id, not per turn):
-        expiring single turns of a live conversation would corrupt it."""
+        RETENTION never expires part of a live conversation. Post-retention
+        writes follow plain CDC semantics per key — one new turn for an
+        expired conversation yields a one-turn conversation, mirroring what
+        the upstream source now contains, exactly as any database treats
+        inserts after deletes."""
         if self.sink.epoch_applied(epoch_id):
             st = EpochStats(epoch=epoch_id, skipped=True)
             self.stats.append(st)
@@ -288,20 +295,16 @@ class CdcEngine:
                 "(ParquetStateSink.read_state); for Iceberg, generate the "
                 "tombstone batch from the table directly"
             )
+        # global max lsn (tombstones included) from the UNFOLDED bucket
+        # union — stats-served scalar, no row_number shuffle; the folded
+        # state is read exactly once, for the tombstone batch itself
+        m = self.sink.max_lsn()
+        if m is None:
+            st = EpochStats(epoch=epoch_id, skipped=True)
+            self.stats.append(st)
+            return st
+        fence_lsn = m + 1
         raw = self.sink.read_state()  # folded, tombstones INCLUDED
-        if raw is None:
-            st = EpochStats(epoch=epoch_id, skipped=True)
-            self.stats.append(st)
-            return st
-        # global max lsn (tombstones included — an existing tombstone may
-        # hold it) as a SCALAR: partial-aggregated, parquet stats serve it;
-        # an unpartitioned window here would funnel state into one partition
-        row = raw.agg(F.max("lsn").alias("m")).collect()[0]
-        if row["m"] is None:
-            st = EpochStats(epoch=epoch_id, skipped=True)
-            self.stats.append(st)
-            return st
-        fence_lsn = int(row["m"]) + 1
         state = raw.filter(F.col("op") != "D")
         conv_max = F.max("ts").over(Window.partitionBy("conv_id"))
         events = (

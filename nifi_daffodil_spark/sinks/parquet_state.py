@@ -177,8 +177,16 @@ class ParquetStateSink(TranscriptSink):
     def _fold(df: DataFrame) -> DataFrame:
         """Merge-on-read LWW fold: one winner per (conv_id, turn_idx) by
         highest lsn, tombstones INCLUDED (a winning D keeps fencing late
-        smaller-lsn rows for its key until compact_tombstones reclaims it)."""
-        w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").desc())
+        smaller-lsn rows for its key until compact_tombstones reclaims it).
+        At EQUAL lsn a non-tombstone wins (lww_tiebreak_order): genuine
+        lsns never tie, but a retention tombstone fenced at max+1 can
+        collide with the producer's next real lsn — the event must win,
+        deterministically, or reads could flip between compactions."""
+        from nifi_daffodil_spark.operators.dedup import lww_tiebreak_order
+
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            *lww_tiebreak_order()
+        )
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -544,6 +552,18 @@ class ParquetStateSink(TranscriptSink):
             [f.name for f in TRANSCRIPT_SCHEMA.fields]
         )
 
+    def max_lsn(self) -> int | None:
+        """Highest committed lsn, computed over the RAW (unfolded) bucket
+        union: the fold keeps each key's max-lsn row, so the max is
+        identical, and skipping the fold lets the aggregate ride parquet
+        row-group stats instead of a table-wide row_number shuffle."""
+        m = self._read_manifest()
+        df = self._read_buckets(m, [int(b) for b in m["buckets"]])
+        if df is None:
+            return None
+        v = df.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+        return None if v is None else int(v)
+
     def read_changes(
         self, after_epoch: int, to_epoch: int | None = None
     ) -> DataFrame:
@@ -682,8 +702,19 @@ class ParquetStateSink(TranscriptSink):
             )
             j = d.join(o, ["conv_id", "turn_idx"], "left")
         # MERGE-guard fence: a range row that lost to the existing state
-        # (final range lsn <= old lsn) never applied — not a change
-        j = j.filter(F.col("_old_lsn").isNull() | (F.col("_new_lsn") > F.col("_old_lsn")))
+        # (final range lsn <= old lsn) never applied — not a change. The
+        # equal-lsn carve-out mirrors the fold's tiebreak: a genuine event
+        # colliding with a retention tombstone's fence lsn WINS there, so
+        # its resurrection must appear in the change feed too.
+        j = j.filter(
+            F.col("_old_lsn").isNull()
+            | (F.col("_new_lsn") > F.col("_old_lsn"))
+            | (
+                (F.col("_new_lsn") == F.col("_old_lsn"))
+                & (F.col("_old_op") == "D")
+                & (F.col("_new_op") != "D")
+            )
+        )
         old_vis = F.col("_old_op").isNotNull() & (F.col("_old_op") != "D")
         new_vis = F.col("_new_op") != "D"
         change = (

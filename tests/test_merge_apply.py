@@ -396,20 +396,27 @@ def test_retention_expires_stale_conversations(spark, tmp_path):
     assert eng.apply_retention(cutoff, 1).skipped
     assert sink.read_transcripts().count() == 2
 
-    # LWW fencing: a LATE event older than the fence stays dead; a genuinely
-    # newer one resurrects its conversation (retention is as-of now)
+    # LWW fencing: a LATE event older than the fence stays dead; one at the
+    # COLLIDING fence lsn (the producer's next dense lsn == max+1 == 5) wins
+    # the deterministic tiebreak and resurrects ITS key only — the other
+    # expired turn stays dead (plain per-key CDC semantics after a delete)
     late = spark.createDataFrame(
         [(3, "U", "stale", 0, "user", "too late", None, old_ts)],
         ev.schema)
     eng.process_batch(late, 2)
     assert sink.read_transcripts().count() == 2
-    fresh = spark.createDataFrame(
-        [(99, "I", "stale", 0, "user", "back", None, new_ts)],
+    colliding = spark.createDataFrame(
+        [(5, "I", "stale", 0, "user", "back", None, new_ts)],
         ev.schema)
-    eng.process_batch(fresh, 3)
+    eng.process_batch(colliding, 3)
     texts = {(r["conv_id"], r["turn_idx"]): r["text"]
              for r in sink.read_transcripts().collect()}
     assert texts[("stale", 0)] == "back"
+    assert ("stale", 1) not in texts  # sibling turn remains expired
+    # the collision-resurrection appears in the change feed as an insert
+    cl = {(r["conv_id"], r["turn_idx"]): r["change"]
+          for r in sink.read_changelog(2, 3).collect()}
+    assert cl[("stale", 0)] == "I"
 
 
 def test_retention_on_empty_table_skips(spark, tmp_path):
