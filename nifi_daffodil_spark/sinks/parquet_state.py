@@ -35,11 +35,13 @@ can never overwrite newer state (the `s.lsn > t.lsn` MERGE guard).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -244,6 +246,23 @@ class ParquetStateSink(TranscriptSink):
             if d.startswith("bucket=")
         }
 
+    @contextmanager
+    def _writer_lock(self):
+        """ENFORCED single-writer (the parquet analog of the Iceberg sink's
+        snapshot-summary re-check): an exclusive flock on <root>/writer.lock
+        serializes every commit-protocol mutation (epoch apply, rewrite,
+        vacuum). A concurrent duplicate writer blocks here, then re-reads
+        the manifest and sees the epoch committed — exactly-once holds
+        under racing writers instead of by documented assumption. Advisory
+        flock is host-local: multi-HOST writers need a real catalog (that
+        is what the Iceberg sink is for)."""
+        with open(os.path.join(self.root, "writer.lock"), "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def apply_batch(
         self,
         batch: DataFrame,
@@ -255,7 +274,22 @@ class ParquetStateSink(TranscriptSink):
         """batch columns: conv_id, turn_idx, role, text, tool, ts, lsn, op,
         bucket — already deduped to one row per (conv_id, turn_idx).
         `lineage` is a driver-side list of LINEAGE_SCHEMA tuples (already
-        aggregated) — written with pyarrow, zero Spark jobs."""
+        aggregated) — written with pyarrow, zero Spark jobs.
+        Serialized by _writer_lock; the epoch re-check happens INSIDE the
+        lock, so two writers racing the same epoch commit exactly once."""
+        with self._writer_lock():
+            return self._apply_batch_locked(
+                batch, epoch_id, quarantine, lineage, touched
+            )
+
+    def _apply_batch_locked(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        quarantine: DataFrame | None = None,
+        lineage: list[tuple] | None = None,
+        touched: list[int] | None = None,
+    ) -> dict:
         import os as _os
 
         _timing = _os.environ.get("NDS_TIMING") == "1"
@@ -766,7 +800,16 @@ class ParquetStateSink(TranscriptSink):
         commit protocol to keep correct, and combining them costs one fold
         instead of two back-to-back table rewrites): fold every bucket,
         optionally drop expired tombstones, optionally re-bucket under a
-        new count, write one snap, swap the manifest atomically."""
+        new count, write one snap, swap the manifest atomically.
+        Serialized against epoch commits by _writer_lock."""
+        with self._writer_lock():
+            self._rewrite_all_locked(new_n_buckets, lsn_horizon)
+
+    def _rewrite_all_locked(
+        self,
+        new_n_buckets: int | None = None,
+        lsn_horizon: int | None = None,
+    ) -> None:
         m = self._read_manifest()
         df = self._read_buckets(m, [int(b) for b in m["buckets"]])
         if df is not None:
@@ -832,7 +875,13 @@ class ParquetStateSink(TranscriptSink):
         counter-keep_last. The layouts of the last `keep_last` committed
         epochs also pin their dirs, so recent time-travel snapshots survive
         a vacuum; older snapshots whose dirs get removed are expired and
-        their layout files pruned (expire_snapshots semantics)."""
+        their layout files pruned (expire_snapshots semantics).
+        Serialized against commits by _writer_lock (a concurrent epoch's
+        written-but-unswapped dirs could otherwise look unreferenced)."""
+        with self._writer_lock():
+            return self._vacuum_locked(keep_last)
+
+    def _vacuum_locked(self, keep_last: int) -> list[str]:
         m = self._read_manifest()
         referenced = {
             d for b in m["buckets"] for d in self._bucket_dirs(m, int(b))

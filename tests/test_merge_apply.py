@@ -429,3 +429,56 @@ def test_retention_on_empty_table_skips(spark, tmp_path):
     sink = ParquetStateSink(spark, str(tmp_path / "t"), n_buckets=8)
     eng = CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4))
     assert eng.apply_retention(dt.datetime(2024, 1, 1), 0).skipped
+
+
+def test_concurrent_writers_exactly_once(spark, tmp_path):
+    """ENFORCED single-writer (parquet analog of the Iceberg sink's r4
+    snapshot re-check): two engines over the same table racing the SAME
+    epoch commit it exactly once — the loser blocks on the writer lock,
+    re-reads the manifest inside it, and skips. Racing DIFFERENT epochs
+    both commit, with no delta-dir counter collision."""
+    import threading
+
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+    from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+    root = str(tmp_path / "t")
+    TSX = __import__("datetime").datetime(2024, 1, 1)
+
+    def _ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx long, "
+            "role string, text string, tool string, ts timestamp",
+        )
+
+    stats = {}
+
+    def run(name, epoch, rows):
+        sink = ParquetStateSink(spark, root, n_buckets=8)
+        eng = CdcEngine(spark, sink, EngineConfig(n_buckets=8, n_salt=4))
+        stats[name] = eng.process_batch(_ev(rows), epoch)
+
+    same = [(1, "I", "a", 0, "user", "v1", None, TSX)]
+    t1 = threading.Thread(target=run, args=("w1", 0, same))
+    t2 = threading.Thread(target=run, args=("w2", 0, same))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    applied = [n for n, s in stats.items() if not s.skipped]
+    assert len(applied) == 1, stats
+    check = ParquetStateSink(spark, root, n_buckets=8)
+    assert check.read_transcripts().count() == 1
+    assert list(check._read_manifest()["epochs"]) == ["0"]
+
+    # different epochs race: both commit, distinct delta dirs
+    t3 = threading.Thread(target=run, args=(
+        "w3", 1, [(2, "I", "b", 0, "user", "v2", None, TSX)]))
+    t4 = threading.Thread(target=run, args=(
+        "w4", 2, [(3, "I", "c", 0, "user", "v3", None, TSX)]))
+    t3.start(); t4.start(); t3.join(120); t4.join(120)
+    assert not stats["w3"].skipped and not stats["w4"].skipped
+    m = check._read_manifest()
+    assert sorted(m["epochs"]) == ["0", "1", "2"]
+    deltas = {m["epochs"][e]["delta"] for e in m["epochs"]}
+    assert len(deltas) == 3  # no counter collision between racing commits
+    assert check.read_transcripts().count() == 3
