@@ -35,7 +35,6 @@ can never overwrite newer state (the `s.lsn > t.lsn` MERGE guard).
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import shutil
@@ -88,24 +87,36 @@ class ParquetStateSink(TranscriptSink):
         os.makedirs(os.path.join(root, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(root, "layouts"), exist_ok=True)
         if not os.path.exists(self._manifest_path()):
-            self._write_manifest(
-                {"counter": 0, "buckets": {}, "epochs": {},
-                 "n_buckets": n_buckets}
-            )
-        else:
-            # fail fast on a bucket-count mismatch: pmod(xxhash64(conv_id),
-            # WRONG n) silently mis-prunes point lookups and mis-partitions
-            # writes — the table's recorded count is authoritative, and
-            # reshard() is the sanctioned way to change it. Tables from
-            # before this field adopt the caller's value.
-            recorded = self._read_manifest().get("n_buckets")
-            if recorded is not None and int(recorded) != n_buckets:
-                raise ValueError(
-                    f"table at {root} is bucketed with n_buckets="
-                    f"{recorded}, but the sink was opened with "
-                    f"n_buckets={n_buckets} — open with the recorded count "
-                    "or reshard() the table"
+            # ATOMIC-CREATE bootstrap (os.link fails if the target exists):
+            # two processes racing a fresh root must not clobber a manifest
+            # the other already committed epochs into — an os.replace here
+            # would erase commit records and reset the dir counter
+            tmp = self._manifest_path() + f".init-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"counter": 0, "buckets": {}, "epochs": {},
+                     "n_buckets": n_buckets},
+                    f, indent=1, sort_keys=True,
                 )
+            try:
+                os.link(tmp, self._manifest_path())
+            except FileExistsError:
+                pass  # another writer bootstrapped first — adopt theirs
+            finally:
+                os.remove(tmp)
+        # fail fast on a bucket-count mismatch: pmod(xxhash64(conv_id),
+        # WRONG n) silently mis-prunes point lookups and mis-partitions
+        # writes — the table's recorded count is authoritative, and
+        # reshard() is the sanctioned way to change it. Tables from
+        # before this field adopt the caller's value.
+        recorded = self._read_manifest().get("n_buckets")
+        if recorded is not None and int(recorded) != n_buckets:
+            raise ValueError(
+                f"table at {root} is bucketed with n_buckets="
+                f"{recorded}, but the sink was opened with "
+                f"n_buckets={n_buckets} — open with the recorded count "
+                "or reshard() the table"
+            )
 
     # ---- manifest ---------------------------------------------------------
 
@@ -159,6 +170,11 @@ class ParquetStateSink(TranscriptSink):
                 by_dir.setdefault(d, []).append(b)
         if not by_dir:
             return None
+        # recompute the bucket column under the count the MANIFEST records
+        # (not self.n_buckets): a maintenance rewrite serialized behind a
+        # concurrent reshard must re-bucket in the table's current space,
+        # not the stale one this sink instance was opened with
+        n = int(manifest.get("n_buckets") or self.n_buckets)
         parts = []
         for d, bs in by_dir.items():
             base = os.path.join(self.root, "data", d)
@@ -167,7 +183,7 @@ class ParquetStateSink(TranscriptSink):
                 self.spark.read.option("basePath", base).schema(
                     _FILE_SCHEMA
                 ).parquet(*paths).withColumn(
-                    "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int")
+                    "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("int")
                 )
             )
         df = parts[0]
@@ -256,6 +272,10 @@ class ParquetStateSink(TranscriptSink):
         under racing writers instead of by documented assumption. Advisory
         flock is host-local: multi-HOST writers need a real catalog (that
         is what the Iceberg sink is for)."""
+        import fcntl  # lazy: keeps the module importable (read-only use)
+        # on platforms without fcntl; writers there fail loudly instead of
+        # silently skipping enforcement
+
         with open(os.path.join(self.root, "writer.lock"), "w") as f:
             fcntl.flock(f, fcntl.LOCK_EX)
             try:
@@ -304,6 +324,18 @@ class ParquetStateSink(TranscriptSink):
         if str(epoch_id) in manifest["epochs"]:
             return {"skipped": True, "epoch": epoch_id,
                     "snapshot_id": manifest["epochs"][str(epoch_id)]["snapshot_id"]}
+        # re-validate the bucket count INSIDE the lock: a batch whose bucket
+        # column was computed before a concurrent reshard() committed would
+        # write mod-old partitions into the mod-new manifest — invisible to
+        # bucket pruning. The caller must reopen and rebuild the batch.
+        recorded = manifest.get("n_buckets")
+        if recorded is not None and int(recorded) != self.n_buckets:
+            raise ValueError(
+                f"table was resharded to n_buckets={recorded} while this "
+                f"writer (opened with n_buckets={self.n_buckets}) was "
+                "preparing its batch — reopen the sink and re-derive the "
+                "batch's bucket column before retrying this epoch"
+            )
 
         tprev = time.monotonic()
         try:

@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,11 +76,24 @@ class ConvRollup:
             # committed OUT OF ORDER (id below the watermark, e.g.
             # replay-quarantine into a gap id) is invisible to the
             # (watermark, to] changelog range, so refresh detects the count
-            # mismatch and rebuilds instead of silently diverging
-            self._write_manifest(
-                {"epoch": None, "counter": 0, "buckets": {}, "n_epochs": 0,
-                 "n_buckets": sink.n_buckets}
-            )
+            # mismatch and rebuilds instead of silently diverging.
+            # ATOMIC-CREATE (os.link): racing constructors must not clobber
+            # a manifest another writer already committed refreshes into.
+            import uuid
+
+            tmp = self._manifest_path() + f".init-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"epoch": None, "counter": 0, "buckets": {},
+                     "n_epochs": 0, "n_buckets": sink.n_buckets},
+                    f,
+                )
+            try:
+                os.link(tmp, self._manifest_path())
+            except FileExistsError:
+                pass  # another writer bootstrapped first — adopt theirs
+            finally:
+                os.remove(tmp)
 
     # ---- manifest (same atomic-swap protocol as the sink) -----------------
 
@@ -95,6 +109,24 @@ class ConvRollup:
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path())
+
+    @contextmanager
+    def _writer_lock(self):
+        """Same enforced single-writer protocol as the sink (its lock does
+        NOT cover the view): two engines committing different table epochs
+        then refreshing concurrently would both write roll-(counter+1) —
+        overwrite-mode jobs deleting each other's part-files mid-write —
+        and swap manifests referencing a torn dir. Serializing refresh and
+        vacuum closes that; the loser re-reads the watermark inside the
+        lock and no-ops."""
+        import fcntl  # lazy: module stays importable on lock-less platforms
+
+        with open(os.path.join(self.root, "writer.lock"), "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
 
     # ---- read --------------------------------------------------------------
 
@@ -134,7 +166,13 @@ class ConvRollup:
         """Bring the view up to `to_epoch` (default: the sink's latest
         committed epoch) by applying changelog deltas to the touched
         buckets. Returns a summary dict; `{"applied": False}` when the view
-        is already current (idempotent no-op)."""
+        is already current (idempotent no-op). Serialized by _writer_lock;
+        the watermark re-read happens inside it, so concurrent refreshers
+        apply each range exactly once."""
+        with self._writer_lock():
+            return self._refresh_locked(to_epoch)
+
+    def _refresh_locked(self, to_epoch: int | None = None) -> dict:
         sink_m = self.sink._read_manifest()
         epochs = sorted(int(e) for e in sink_m["epochs"])
         if not epochs:
@@ -311,15 +349,16 @@ class ConvRollup:
         CONCURRENT refresh may have fully written its dir but not yet
         swapped the manifest — deleting it would tear that commit (the
         same counter-age grace the sink's vacuum applies)."""
-        m = self._read_manifest()
-        referenced = set(m["buckets"].values())
-        removed = []
-        data_dir = os.path.join(self.root, "data")
-        for d in sorted(os.listdir(data_dir)):
-            if not d.startswith("roll-") or d in referenced:
-                continue
-            if int(d.split("-")[1]) > m["counter"] - keep_last:
-                continue  # recent enough to be an in-flight commit
-            shutil.rmtree(os.path.join(data_dir, d))
-            removed.append(d)
-        return removed
+        with self._writer_lock():
+            m = self._read_manifest()
+            referenced = set(m["buckets"].values())
+            removed = []
+            data_dir = os.path.join(self.root, "data")
+            for d in sorted(os.listdir(data_dir)):
+                if not d.startswith("roll-") or d in referenced:
+                    continue
+                if int(d.split("-")[1]) > m["counter"] - keep_last:
+                    continue  # recent enough to be an in-flight commit
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed.append(d)
+            return removed

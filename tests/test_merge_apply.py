@@ -482,3 +482,43 @@ def test_concurrent_writers_exactly_once(spark, tmp_path):
     deltas = {m["epochs"][e]["delta"] for e in m["epochs"]}
     assert len(deltas) == 3  # no counter collision between racing commits
     assert check.read_transcripts().count() == 3
+
+
+def test_apply_after_concurrent_reshard_fails_fast(spark, tmp_path):
+    """A writer whose batch was bucketed under the OLD count must not
+    commit into a table a concurrent maintenance process resharded — the
+    locked re-check raises instead of writing mod-old partitions into the
+    mod-new manifest (invisible to bucket pruning)."""
+    import datetime as dt
+
+    import pytest
+
+    from nifi_daffodil_spark.config import EngineConfig
+    from nifi_daffodil_spark.engine import CdcEngine
+    from nifi_daffodil_spark.sinks.parquet_state import ParquetStateSink
+
+    TSX = dt.datetime(2024, 1, 1)
+    root = str(tmp_path / "t")
+
+    def _ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx long, "
+            "role string, text string, tool string, ts timestamp",
+        )
+
+    sink1 = ParquetStateSink(spark, root, n_buckets=8)
+    eng1 = CdcEngine(spark, sink1, EngineConfig(n_buckets=8, n_salt=4))
+    eng1.process_batch(_ev([(1, "I", "a", 0, "user", "v1", None, TSX)]), 0)
+
+    # maintenance process reshards underneath writer 1
+    ParquetStateSink(spark, root, n_buckets=8).reshard(16)
+
+    with pytest.raises(ValueError, match="resharded to n_buckets=16"):
+        eng1.process_batch(_ev([(2, "I", "b", 0, "user", "v2", None, TSX)]), 1)
+    # the failed epoch never committed — a correctly-reopened writer applies it
+    sink2 = ParquetStateSink(spark, root, n_buckets=16)
+    eng2 = CdcEngine(spark, sink2, EngineConfig(n_buckets=16, n_salt=4))
+    assert not eng2.process_batch(
+        _ev([(2, "I", "b", 0, "user", "v2", None, TSX)]), 1).skipped
+    assert sink2.read_transcripts().count() == 2
