@@ -184,6 +184,7 @@ def srp_lsh_pairs(
     dim: int,
     n_bands: int = 12,
     rows_per_band: int = 2,
+    min_cos: float | None = None,
 ) -> DataFrame:
     """Near-dup candidate PAIRS via banded sign-random-projection LSH,
     exact-cosine verified — the scale-safe shape for all-pairs similarity.
@@ -196,15 +197,38 @@ def srp_lsh_pairs(
     P(candidate) = 1-(1-p^r)^b with p = 1 - theta/pi). For harder, lower
     thresholds raise n_bands.
 
-    Everything is built-in Catalyst expressions: normalize once, one fold
-    per bit (dim multiply-adds over array literals), band keys packed to
-    ints, one shuffle on (band, key).
+    min_cos=None (default): built-in Catalyst expressions — normalize once,
+    one fold per bit (dim multiply-adds over array literals), band keys
+    packed to ints, one shuffle on (band, key) — and EVERY candidate pair is
+    returned with its exact cosine (caller thresholds / top-ks).
 
-    Input df: (vec_id long, v array<double>). Returns (d1, d2, cos) for all
-    candidate pairs with their exact cosine (caller thresholds / top-ks).
+    min_cos given: the THRESHOLD-PUSHDOWN path (optimization round 6).
+    Semantically identical up to the returned pair set being pre-filtered to
+    cos >= min_cos; callers that filter at the same threshold get the exact
+    same rows. The shape problem it fixes: with rows_per_band=2 each band
+    has only 4 possible keys, so the Catalyst candidate join degenerates to
+    ~all-pairs through a 64-key skewed shuffle, materializes O(n^2) distinct
+    candidate rows, joins the vectors back twice, and folds the cosine
+    per-pair in interpreted HigherOrderFunctions — measured 839 s at the
+    driver's sf=1.0 (BENCH_r05). Instead, each (band, key) bucket is handled
+    by one Arrow task: a numpy matmul screens the bucket's pair block
+    against (min_cos - 1e-6), and ONLY screened survivors get the exact
+    left-fold cosine (bit-identical to the Catalyst/DuckDB fold: the
+    per-element accumulate runs in the same IEEE order, vectorized ACROSS
+    pairs, not within) and the exact >= filter. Survivor counts are
+    O(near-dups), so nothing quadratic is ever shuffled or distinct'd.
+    Guard-band soundness: dgemm error for dim<=4096 unit vectors is < 1e-12,
+    five orders below the 1e-6 guard, so the screen can only ADMIT extra
+    pairs for the exact filter to reject, never drop a qualifying pair.
+
+    Input df: (vec_id long, v array<double>). Returns (d1, d2, cos).
     """
     n_bits = n_bands * rows_per_band
     coefs = srp_coefficients(n_bits, dim)
+    if min_cos is not None:
+        return _srp_lsh_pairs_thresholded(
+            df, dim, n_bands, rows_per_band, coefs, float(min_cos)
+        )
     nrm = _norm_col()
     en = df.select(
         "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("u")
@@ -277,6 +301,121 @@ def srp_lsh_pairs(
     return (
         cand.join(u1, "d1").join(u2, "d2").select("d1", "d2", cos.alias("cos"))
     )
+
+
+def _fold_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot product in EXACT left-fold order: acc starts at 0.0 and
+    accumulates a[:, k] * b[:, k] element-index by element-index — the same
+    IEEE operation sequence as Catalyst's aggregate(zip_with(u1, u2, *),
+    0.0, +) and DuckDB's list_dot_product, vectorized across rows (which
+    does not change any single row's op order). Bit-identical results."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for k in range(a.shape[1]):
+        acc += a[:, k] * b[:, k]
+    return acc
+
+
+def _srp_lsh_pairs_thresholded(
+    df: DataFrame,
+    dim: int,
+    n_bands: int,
+    rows_per_band: int,
+    coefs: list[list[float]],
+    min_cos: float,
+) -> DataFrame:
+    """Threshold-pushdown SRP-LSH (see srp_lsh_pairs docstring, min_cos arm).
+
+    Stage 1 (mapInPandas): normalize + 32 sign bits + band keys, all in the
+    exact left-fold order of the Catalyst path, emitted pre-exploded as
+    (band, key, vec_id, u) rows.
+    Stage 2 (groupBy(band, key).applyInPandas): per-bucket pair generation —
+    matmul screen at min_cos - 1e-6 (admits, never drops), exact left-fold
+    cosine + exact >= min_cos on screened survivors only.
+    Then one distinct() over the (tiny) surviving pair set, mirroring the
+    candidate distinct of the Catalyst path (same pair found via several
+    bands carries the identical cosine).
+
+    NaN handling mirrors Spark/DuckDB comparison semantics (NaN compares
+    greater than any value, so a NaN cosine passes >= min_cos): screens and
+    filters keep NaN rows. Only reachable with zero-norm input vectors.
+    """
+    n_bits = n_bands * rows_per_band
+    cmat = np.asarray(coefs, dtype=np.float64)  # (n_bits, dim)
+    guard = min_cos - 1e-6
+
+    def keys_part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            nrm = np.sqrt(_fold_dot(m, m))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = m / nrm[:, None]
+            # sign bits, fold order per bit; NaN proj >= 0 is TRUE in Spark
+            bits = np.empty((len(u), n_bits), dtype=np.int64)
+            for q in range(n_bits):
+                proj = _fold_dot(u, np.broadcast_to(cmat[q], u.shape))
+                bits[:, q] = (proj >= 0) | np.isnan(proj)
+            ids = pdf["vec_id"].to_numpy()
+            ulist = pd.Series(list(u))
+            for j in range(n_bands):
+                key = np.zeros(len(u), dtype=np.int64)
+                for i in range(rows_per_band):
+                    key += bits[:, j * rows_per_band + i] << i
+                yield pd.DataFrame(
+                    {
+                        "band": np.full(len(u), j, dtype=np.int64),
+                        "key": key,
+                        "vec_id": ids,
+                        "u": ulist,
+                    }
+                )
+
+    keyed = df.select("vec_id", "v").mapInPandas(
+        keys_part, schema="band long, key long, vec_id long, u array<double>"
+    )
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"d1": [], "d2": [], "cos": []}).astype(
+                {"d1": "int64", "d2": "int64", "cos": "float64"}
+            )
+        u = np.stack(pdf["u"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        d1o, d2o, coso = [], [], []
+        block = max(1, 64_000_000 // (8 * n))  # ~64 MB per score block
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            scores = u[lo:hi] @ u.T  # screen only; never emitted
+            keep = (scores >= guard) | np.isnan(scores)
+            # strict id ordering d1 < d2 (each unordered pair once)
+            keep &= ids[lo:hi, None] < ids[None, :]
+            bi, bj = np.nonzero(keep)
+            if not len(bi):
+                continue
+            gi = bi + lo
+            cos = _fold_dot(u[gi], u[bj])  # exact left-fold, survivors only
+            ok = (cos >= min_cos) | np.isnan(cos)
+            d1o.append(ids[gi][ok])
+            d2o.append(ids[bj][ok])
+            coso.append(cos[ok])
+        if not d1o:
+            return pd.DataFrame({"d1": [], "d2": [], "cos": []}).astype(
+                {"d1": "int64", "d2": "int64", "cos": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "d1": np.concatenate(d1o),
+                "d2": np.concatenate(d2o),
+                "cos": np.concatenate(coso),
+            }
+        )
+
+    pairs = keyed.groupBy("band", "key").applyInPandas(
+        bucket_pairs, schema="d1 long, d2 long, cos double"
+    )
+    return pairs.distinct()
 
 
 def lsh_bucketed_topk(

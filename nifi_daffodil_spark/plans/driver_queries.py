@@ -896,12 +896,16 @@ def q_dedup_semantic(spark, sf_dir):
     from nifi_daffodil_spark.operators.text_dedup import resolve_keepers
 
     e = _t(spark, sf_dir, "embeddings")
+    # min_cos pushes the threshold into the per-bucket pair generation
+    # (matmul screen + exact-fold verify) so nothing quadratic is shuffled;
+    # the filter below is then a no-op kept for the declared-query contract
     pairs = (
         srp_lsh_pairs(
             as_double_vecs(e),
             dim=64,
             n_bands=N_SRP_BANDS,
             rows_per_band=SRP_ROWS_PER_BAND,
+            min_cos=SEMDEDUP_T,
         )
         .filter(F.col("cos") >= SEMDEDUP_T)
         .select("d1", "d2")

@@ -21,6 +21,12 @@ def build_session(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # numpy kernels (SRP pair gen, ANN matmuls, media decode) run as MANY
+    # parallel tasks; one BLAS thread per task avoids c_tasks x c_blas
+    # oversubscription. Must be set before the JVM (and its python worker
+    # daemon) starts; setdefault respects an operator's explicit choice.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

