@@ -44,23 +44,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Adaptive scan-parallelism floor for MAP-HEAVY plans (guide §2.5
+    input skew): the driver's tables are single parquet files with one row
+    group per ~1M rows, so a scan cannot be split below that and a map-only
+    query runs as ONE task no matter the core count. A round-robin
+    repartition to the session's parallelism spreads the expensive per-row
+    work (regex token classes, per-doc array sorts, media decode) across
+    cores for the price of one cheap exchange of the raw rows. No-op when
+    the scan already has enough splits, so well-laid-out inputs at scale
+    skip the exchange entirely. Only worth it when per-row compute clearly
+    exceeds exchange cost — aggregation-first or window-first plans keep
+    their own exchange as the parallelism point instead."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # CDC-core operators (SURVEY.md §2.a/§2.b) expressed over `events`
 # ---------------------------------------------------------------------------
 
 def q_cdc_lww_dedup(spark, sf_dir):
-    """LWW dedup window (inventory: dedup; BASELINE.json row_number shape)."""
+    """LWW dedup (inventory: dedup). Round-6 shape: the row_number window
+    (full-row exchange + per-key sort) is replaced by one hash aggregation
+    with map-side partials — max lsn + max_by(value, lsn) per key computes
+    the identical winner row (lsns are unique per the WAL contract, so the
+    window's ORDER BY event_id DESC tiebreak never fired). The exchange now
+    carries |keys| partial rows instead of |events| full rows and the sort
+    disappears; the engine's own LWW fold (operators/dedup.py) keeps the
+    window form because it must also fold tombstones and multi-column
+    payloads positionally."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("event_id").alias("lsn"),
-            F.col("value").alias("last_value"),
-        )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("lsn"),
+        F.max_by("value", "event_id").alias("last_value"),
     )
 
 
@@ -106,12 +125,18 @@ def q_cdc_merge_upsert(spark, sf_dir):
     base = ev.filter(F.col("event_id") < 5000)
     delta = ev.filter(F.col("event_id") >= 5000)
     merged = base.unionByName(delta)
-    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    # round-6: the LWW window over the merged stream is a per-key max (lsns
+    # unique), so the per-user rollup is two hash aggregations with map-side
+    # partials — no full-row exchange, no per-key sort; the second agg's
+    # input is already |keys|-sized
     return (
-        merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        merged.groupBy("user_id", "event_type")
+        .agg(F.max("event_id").alias("_last_lsn"))
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("live_keys"), F.max("event_id").alias("max_lsn"))
+        .agg(
+            F.count(F.lit(1)).alias("live_keys"),
+            F.max("_last_lsn").alias("max_lsn"),
+        )
     )
 
 
@@ -1376,8 +1401,9 @@ GROUP BY doc_id
 
 
 def q_text_token_count(spark, sf_dir):
-    """Token counting: whitespace + regex token classes (BPE-ish)."""
-    d = _t(spark, sf_dir, "documents")
+    """Token counting: whitespace + regex token classes (BPE-ish).
+    Map-only with a heavy per-row regex -> _spread the scan."""
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
@@ -1767,7 +1793,8 @@ def q_multimodal_decode(spark, sf_dir):
 
     bmp_hdr = bmp_bytes(4, 2, b"\x00" * 24)[:54]
     wav_hdr = wav_bytes(8000, b"\x00" * 16)[:44]
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # container assembly + Arrow decode is per-row heavy -> _spread the scan
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     digest = F.unhex(F.md5(F.col("doc_id").cast("string")))
     even = F.col("doc_id") % 2 == 0
     media = d.select(
@@ -1867,8 +1894,10 @@ def q_text_repetition(spark, sf_dir):
     per-doc-count formulation benched 4x slower at sf0.1: the 5M-row
     bigram explode + two aggregations cost more than the in-array sort).
     Docs with <2 words are excluded, matching the oracle's unnest-of-
-    empty-list drop."""
-    d = _t(spark, sf_dir, "documents")
+    empty-list drop. The per-doc bigram sort dominates, so the scan is
+    _spread across cores (single-row-group input = one task otherwise;
+    4.2 s -> sub-second at 50k docs)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
     words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     bigrams = F.expr(
         "array_sort(transform(sequence(0, size(ws) - 2), "

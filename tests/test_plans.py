@@ -171,11 +171,15 @@ def test_scd2_single_exchange(spark):
 
 def test_text_repetition_zero_shuffle_no_python(spark):
     """The whole computation is map-side (sorted bigram array + run-length
-    aggregate): no Python evaluation and NO exchange at all — the plan is
-    a pure projection over the scan, embarrassingly parallel at any SF."""
+    aggregate): no Python evaluation and no KEYED exchange — the only
+    permitted exchange is the adaptive round-robin spread that floors scan
+    parallelism on single-row-group inputs (round 6); a well-split input
+    plans with zero exchanges."""
     plan = _plan(dq.q_text_repetition(spark, SF))
     assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # at most the round-robin spread
 
 
 def test_pivot_single_aggregation(spark):
