@@ -1693,18 +1693,20 @@ FROM p ASOF LEFT JOIN vr ON p.user_id = vr.user_id AND p.ts >= vr.ts
 
 def _asof_sides(spark, sf_dir):
     """Shared left/right inputs for the as-of family: purchases vs views
-    pre-deduped per (user, ts) by max event_id."""
-    from pyspark.sql import Window as W
-
+    pre-deduped per (user, ts) by max event_id. Round-6: the dedup is a
+    hash aggregation (max event_id + max_by value) instead of a row_number
+    window — identical winner rows (event_ids are unique, the tiebreak
+    never fired), map-side partials, and no per-key sort before the as-of
+    union's own window."""
     ev = _t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    wdedup = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     views = (
-        views.withColumn("_rn", F.row_number().over(wdedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+        .select("user_id", "ts", "event_id", "value")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

@@ -339,6 +339,42 @@ class ParquetStateSink(TranscriptSink):
 
         tprev = time.monotonic()
         try:
+            # quarantine append runs CONCURRENTLY with the delta write +
+            # compaction (guide §2.6 — independent outputs, and neither job
+            # alone keeps every core busy through its tail): the thread is
+            # joined BEFORE the manifest commit, so a quarantine failure
+            # still fails the epoch atomically. InheritableThread propagates
+            # the JVM-thread-local job group/description correctly.
+            quar_err: list[BaseException] = []
+            quar_thread = None
+            if quarantine is not None:
+                from pyspark import InheritableThread
+
+                quar_df = quarantine.withColumn(
+                    "epoch", F.lit(int(epoch_id))
+                ).select([f.name for f in QUARANTINE_SCHEMA.fields])
+
+                def _quarantine_write() -> None:
+                    try:
+                        # partitioned by epoch + dynamic partition OVERWRITE
+                        # (session default): a crash-retry of this epoch
+                        # REPLACES its own partition instead of appending
+                        # duplicates — the quarantine route is effectively-
+                        # once, like the table itself. partitionOverwriteMode
+                        # pinned AT THE WRITE SITE: with the static default
+                        # (a vanilla SparkSession that didn't come from
+                        # build_session) mode('overwrite') would silently
+                        # delete ALL prior epochs' partitions
+                        quar_df.write.mode("overwrite").option(
+                            "partitionOverwriteMode", "dynamic"
+                        ).partitionBy("epoch").parquet(
+                            os.path.join(self.root, "quarantine")
+                        )
+                    except BaseException as e:  # re-raised on the main thread
+                        quar_err.append(e)
+
+                quar_thread = InheritableThread(target=_quarantine_write)
+                quar_thread.start()
             if touched is None:
                 batch = batch.persist()
                 touched = sorted(
@@ -416,24 +452,11 @@ class ParquetStateSink(TranscriptSink):
                     tprev = _tl(f"L1->base folded {len(over2)} buckets", tprev)
 
             snapshot_id = f"{delta}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{self.root}/{epoch_id}')}"
-            if quarantine is not None:
-                # partitioned by epoch + dynamic partition OVERWRITE (session
-                # default): a crash-retry of this epoch REPLACES its own
-                # partition instead of appending duplicates — the quarantine
-                # route is effectively-once, like the table itself. Lineage
-                # has the same property via its fixed epoch-NNNN filename.
-                # partitionOverwriteMode pinned AT THE WRITE SITE: with the
-                # static default (a vanilla SparkSession that didn't come from
-                # build_session) mode('overwrite') would silently delete ALL
-                # prior epochs' partitions, not just this one's
-                quarantine.withColumn("epoch", F.lit(int(epoch_id))).select(
-                    [f.name for f in QUARANTINE_SCHEMA.fields]
-                ).write.mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).partitionBy("epoch").parquet(
-                    os.path.join(self.root, "quarantine")
-                )
-            tprev = _tl("quarantine write", tprev)
+            if quar_thread is not None:
+                quar_thread.join()
+                if quar_err:
+                    raise quar_err[0]
+            tprev = _tl("quarantine write (overlapped) joined", tprev)
             if lineage:
                 self._write_lineage(lineage, snapshot_id, epoch_id)
 
