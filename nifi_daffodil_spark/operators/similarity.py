@@ -339,15 +339,30 @@ def _srp_lsh_pairs_thresholded(
     greater than any value, so a NaN cosine passes >= min_cos): screens and
     filters keep NaN rows. Only reachable with zero-norm input vectors.
     """
+    import pyarrow as pa
+
     n_bits = n_bands * rows_per_band
     cmat = np.asarray(coefs, dtype=np.float64)  # (n_bits, dim)
     guard = min_cos - 1e-6
 
+    def _vecs(col: "pa.ChunkedArray | pa.Array") -> "np.ndarray":
+        """Arrow list<double> column -> (n, dim) float64 matrix without
+        per-row Python objects (flatten reads the values buffer)."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1)
+
+    def _list_col(m: "np.ndarray") -> "pa.Array":
+        offsets = pa.array(
+            np.arange(0, (m.shape[0] + 1) * m.shape[1], m.shape[1], dtype=np.int32)
+        )
+        return pa.ListArray.from_arrays(offsets, pa.array(m.ravel()))
+
     def keys_part(it):
-        for pdf in it:
-            if not len(pdf):
+        for rb in it:
+            if rb.num_rows == 0:
                 continue
-            m = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            m = _vecs(rb.column(1)).astype(np.float64, copy=False)
             nrm = np.sqrt(_fold_dot(m, m))
             with np.errstate(divide="ignore", invalid="ignore"):
                 u = m / nrm[:, None]
@@ -356,33 +371,40 @@ def _srp_lsh_pairs_thresholded(
             for q in range(n_bits):
                 proj = _fold_dot(u, np.broadcast_to(cmat[q], u.shape))
                 bits[:, q] = (proj >= 0) | np.isnan(proj)
-            ids = pdf["vec_id"].to_numpy()
-            ulist = pd.Series(list(u))
+            ids = rb.column(0)
+            ucol = _list_col(u)
             for j in range(n_bands):
                 key = np.zeros(len(u), dtype=np.int64)
                 for i in range(rows_per_band):
                     key += bits[:, j * rows_per_band + i] << i
-                yield pd.DataFrame(
-                    {
-                        "band": np.full(len(u), j, dtype=np.int64),
-                        "key": key,
-                        "vec_id": ids,
-                        "u": ulist,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(u), j, dtype=np.int64)),
+                        pa.array(key),
+                        ids,
+                        ucol,
+                    ],
+                    names=["band", "key", "vec_id", "u"],
                 )
 
-    keyed = df.select("vec_id", "v").mapInPandas(
+    keyed = df.select("vec_id", "v").mapInArrow(
         keys_part, schema="band long, key long, vec_id long, u array<double>"
     )
 
-    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
+    _empty = pa.table(
+        {
+            "d1": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def bucket_pairs(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
         if n < 2:
-            return pd.DataFrame({"d1": [], "d2": [], "cos": []}).astype(
-                {"d1": "int64", "d2": "int64", "cos": "float64"}
-            )
-        u = np.stack(pdf["u"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()
+            return _empty
+        u = _vecs(tbl.column("u"))
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         d1o, d2o, coso = [], [], []
         block = max(1, 64_000_000 // (8 * n))  # ~64 MB per score block
         for lo in range(0, n, block):
@@ -401,18 +423,16 @@ def _srp_lsh_pairs_thresholded(
             d2o.append(ids[bj][ok])
             coso.append(cos[ok])
         if not d1o:
-            return pd.DataFrame({"d1": [], "d2": [], "cos": []}).astype(
-                {"d1": "int64", "d2": "int64", "cos": "float64"}
-            )
-        return pd.DataFrame(
+            return _empty
+        return pa.table(
             {
-                "d1": np.concatenate(d1o),
-                "d2": np.concatenate(d2o),
-                "cos": np.concatenate(coso),
+                "d1": pa.array(np.concatenate(d1o)),
+                "d2": pa.array(np.concatenate(d2o)),
+                "cos": pa.array(np.concatenate(coso)),
             }
         )
 
-    pairs = keyed.groupBy("band", "key").applyInPandas(
+    pairs = keyed.groupBy("band", "key").applyInArrow(
         bucket_pairs, schema="d1 long, d2 long, cos double"
     )
     return pairs.distinct()
