@@ -233,13 +233,20 @@ def minhash_lsh_pairs(
         F.col("_id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        small = (
-            bands.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        # round-6 shape: the cap is a count-over-window filter (ONE exchange
+        # of the bands table) instead of groupBy + join-back (which
+        # exchanged bands twice and recomputed the explode per join branch).
+        # The eager checkpoint then pins the capped table PARTITIONED BY
+        # (band, key), so the candidate self-join below is co-partitioned —
+        # zero further exchanges before the pair distinct.
+        bands = (
+            bands.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
             .filter(F.col("_n") <= max_bucket_size)
-            .select("band", "key")
+            .drop("_n")
+            .localCheckpoint(eager=True)
         )
-        bands = bands.join(small, ["band", "key"])
     a = bands.select(F.col("_id").alias("d1"), "band", "key")
     b = bands.select(F.col("_id").alias("d2"), F.col("band").alias("band2"), F.col("key").alias("key2"))
     cand = (
