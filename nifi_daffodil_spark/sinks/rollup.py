@@ -255,22 +255,31 @@ class ConvRollup:
         When to_epoch is the LATEST committed id, read CURRENT state rather
         than the as-of layout: after an out-of-order commit (gap id below
         the max), the max id's layout predates the gap epoch's rows — the
-        view tracks state, not snapshot-id history."""
-        latest = max(
-            (int(e) for e in self.sink._read_manifest()["epochs"]), default=None
-        )
-        state = self.sink.read_transcripts(
-            as_of_epoch=None if to_epoch == latest else to_epoch
-        )
+        view tracks state, not snapshot-id history.
+
+        The sink manifest read, the epoch-count snapshot and the state
+        DataFrame CONSTRUCTION (which pins the file list) happen under the
+        sink's writer lock: an epoch committed between reading `latest` and
+        building the current-state read would otherwise be included in the
+        rebuilt view while sitting ABOVE the recorded watermark, and the
+        next incremental refresh would re-apply its deltas — a silent
+        persistent double count (round-5 advice, medium). Holding the lock
+        only while pinning the read keeps commits cheap; the rebuild's own
+        write runs unlocked against the pinned file list."""
+        with self.sink._writer_lock():
+            sink_m = self.sink._read_manifest()
+            latest = max((int(e) for e in sink_m["epochs"]), default=None)
+            state = self.sink.read_transcripts(
+                as_of_epoch=None if to_epoch == latest else to_epoch
+            )
+            n_epochs = sum(1 for e in sink_m["epochs"] if int(e) <= to_epoch)
         rows = state.select(
             "conv_id",
             F.lit(1).cast("long").alias("n_turns"),
             F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("total_chars"),
         )
         m = self._read_manifest()
-        m["n_epochs"] = sum(
-            1 for e in self.sink._read_manifest()["epochs"] if int(e) <= to_epoch
-        )
+        m["n_epochs"] = n_epochs
         return self._apply(m, rows, to_epoch, touched=None)
 
     def _apply(
