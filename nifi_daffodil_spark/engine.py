@@ -130,6 +130,14 @@ class CdcEngine:
     def process_batch(self, events: DataFrame, epoch_id: int) -> EpochStats:
         """Minimal-action epoch apply.
 
+        PRECONDITION: `events` must be deterministically re-evaluable — it
+        is computed twice on epochs with bad rows (the lineage/batch pass
+        and the quarantine append). Static WAL files satisfy this; the
+        replay_quarantine/apply_retention paths localCheckpoint their
+        derived inputs first. Callers passing sampled/limited/streaming-
+        ephemeral frames must materialize them (localCheckpoint) before
+        calling, or the two passes may see different rows.
+
         Jobs: (1) per-bucket lineage agg, which materializes the persisted
         batch AND — via DataFrame.observe() planted on the validated frame
         — yields the raw/quarantine counts in the same pass; (2) snapshot

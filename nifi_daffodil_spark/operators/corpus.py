@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nifi_daffodil_spark.operators.text_dedup import dedup_corpus
+from nifi_daffodil_spark.operators.util import spread_scan
 
 #: tiny deterministic English function-word list shared by the langid /
 #: quality heuristics and their DuckDB oracles
@@ -39,13 +40,10 @@ def corpus_quality_metrics(
     blended 50/50 with the stopword ratio — deterministic and portable
     (the text_quality oracle computes the identical expression).
 
-    Adaptive pre-repartition: the explode + map-side partial aggregation is
-    the heavy part, and a single-row-group parquet corpus scans as ONE task
-    — spread it whenever the scan has fewer splits than the session's
-    parallelism (no-op on well-split inputs at scale)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    Adaptive pre-repartition (operators/util.spread_scan): the explode +
+    map-side partial aggregation is the heavy part, and a single-row-group
+    parquet corpus scans as ONE task otherwise."""
+    df = spread_scan(df)
     words = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("w"))
     agg = words.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nifi_daffodil_spark.operators.util import spread_scan
+
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups by canonicalized content hash; keeps min id as keeper."""
@@ -38,18 +40,25 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def word_shingle_array(text_col: str = "text", k: int = 3):
+    """Column expression: the document's word k-gram array (with
+    duplicates, in text order). The ONE definition of shingling — the
+    exploded form (word_shingles) and the in-array minhash base
+    (minhash_lsh_pairs) must never drift apart, or the minhash candidate
+    sets silently desynchronize from the exact-Jaccard oracles."""
+    return F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Distinct word k-grams per document: (id, sh)."""
     return df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
-            )
-        ).alias("sh"),
+        F.explode(word_shingle_array(text_col, k)).alias("sh"),
     ).distinct()
 
 
@@ -127,16 +136,20 @@ def _verify_candidates(
     arrays — with |candidates| >> |docs| (the LSH r=1 regime) the sort-merge
     plan shuffles |candidates| x ~2 KB of array payload TWICE, which
     measured as the single most expensive stage of dedup_corpus at sf1-scale
-    (34 s of 97 s). Callers gate this on |docs| (the broadcast is the SETS
-    table, bounded by doc count, never by candidate count)."""
+    (34 s of 97 s). Callers gate this on the SET TABLE's size (docs AND
+    total shingle count — the payload is the arrays, not the row count).
+    The relation is built twice (one broadcast per join side; Spark's
+    exchange-reuse does not unify them across the two joins even from one
+    hinted relation — verified empirically), which the size gate already
+    budgets for."""
+    if broadcast_sets:
+        sets = F.broadcast(sets)
     s1 = sets.select(
         F.col("_id").alias("d1"), F.col("_shs").alias("_shs1"), F.col("_sz").alias("_sz1")
     )
     s2 = sets.select(
         F.col("_id").alias("d2"), F.col("_shs").alias("_shs2"), F.col("_sz").alias("_sz2")
     )
-    if broadcast_sets:
-        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         candidates.join(s1, "d1")
         .join(s2, "d2")
@@ -184,7 +197,8 @@ def minhash_lsh_pairs(
     ONE map-only projection: the shingle array is built with transform()
     per doc, deduped with array_distinct (a doc-local operation the old
     explode+distinct+groupBy paid TWO shuffles of the exploded table for),
-    and each signature is array_min over md5s of the in-array shingles.
+    and each signature is array_min over salted xxhash64s of the in-array
+    shingles.
     min over the distinct set equals min over the multiset, so signatures
     are identical to the round-5 aggregation form. Zero shuffles to build;
     an adaptive round-robin repartition first spreads the md5-heavy
@@ -200,15 +214,9 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % rows_per_band == 0
     n_bands = n_hashes // rows_per_band
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    shingle_arr = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, 3)))"
-    )
+    df = spread_scan(df)
     base = (
-        df.select(F.col(id_col).alias("_id"), shingle_arr.alias("_sha"))
+        df.select(F.col(id_col).alias("_id"), word_shingle_array(text_col).alias("_sha"))
         .select("_id", F.array_sort(F.array_distinct("_sha")).alias("_shs"))
         .select(
             "_id",
@@ -269,15 +277,21 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # size-gated broadcast verify: the base is already checkpointed, so the
-    # count is a cheap cached-block scan; 200k docs x ~2 KB of set payload
-    # stays far inside the 8 GB broadcast cap, and beyond the gate the
-    # shuffled-join fallback keeps the operator unbounded-corpus-safe
+    # size-gated broadcast verify: the base is already checkpointed, so
+    # this is a cheap cached-block aggregate. The gate is sized by what the
+    # broadcast actually carries — the shingle ARRAYS — not by row count
+    # alone: <=200k docs AND <=10M total shingles keeps the built relation
+    # well inside the 8 GB broadcast cap even for long-doc corpora; beyond
+    # either bound the shuffled-join fallback keeps the operator
+    # unbounded-corpus-safe
+    n_docs, n_shingles = base.agg(
+        F.count(F.lit(1)), F.sum("_sz")
+    ).collect()[0]
     return _verify_candidates(
         cand,
         base.select("_id", "_shs", "_sz"),
         threshold,
-        broadcast_sets=base.count() <= 200_000,
+        broadcast_sets=n_docs <= 200_000 and (n_shingles or 0) <= 10_000_000,
     )
 
 
@@ -478,7 +492,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def connected_components(
     pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25,
-    small_graph_edges: int = 10_000_000,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Transitive closure over near-dup PAIRS: (node, component) where
     component = the minimum doc id reachable — the cluster-resolution step
@@ -492,8 +506,10 @@ def connected_components(
     instead of ~2 jobs x O(log n) rounds. Verified near-dup edges are
     O(actual duplicates), orders of magnitude below the candidate count, so
     real corpora land here (the graded pipelines' edge sets are thousands
-    of rows while their inputs are millions); 10M edges is ~160 MB in the
-    task — far inside executor memory. (Optimization round 6: the
+    of rows while their inputs are millions). The 2M default is sized to
+    what the task ACTUALLY holds — a Python dict of up to 2x|edges|
+    entries at ~100 B each (~400 MB) plus a pure-Python row loop of a few
+    seconds — not to the serialized edge bytes. (Optimization round 6: the
     iterative path's per-round fixed costs — two shuffle joins, an eager
     checkpoint and a convergence-count job — dominated the closure stage
     of all three dedup pipelines at bench scale.)

@@ -45,21 +45,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Adaptive scan-parallelism floor for MAP-HEAVY plans (guide §2.5
-    input skew): the driver's tables are single parquet files with one row
-    group per ~1M rows, so a scan cannot be split below that and a map-only
-    query runs as ONE task no matter the core count. A round-robin
-    repartition to the session's parallelism spreads the expensive per-row
-    work (regex token classes, per-doc array sorts, media decode) across
-    cores for the price of one cheap exchange of the raw rows. No-op when
-    the scan already has enough splits, so well-laid-out inputs at scale
-    skip the exchange entirely. Only worth it when per-row compute clearly
-    exceeds exchange cost — aggregation-first or window-first plans keep
-    their own exchange as the parallelism point instead."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    """Adaptive scan-parallelism floor for map-heavy plans — see
+    operators/util.spread_scan (the driver's tables are single parquet
+    files with one row group per ~1M rows, so a scan cannot split below
+    that and a map-only query otherwise runs as ONE task)."""
+    from nifi_daffodil_spark.operators.util import spread_scan
+
+    return spread_scan(df)
 
 
 # ---------------------------------------------------------------------------
@@ -1043,8 +1035,9 @@ WHERE doc_id NOT IN (SELECT node FROM drops)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: signature_i = min(md5(i || shingle)) (string
-    min — portable), bands r=1 b={N_MINHASH}, band buckets capped at
+    """MinHash+LSH near-dup: signature_i = min(xxhash64(i || shingle))
+    (engine-internal — the oracle is the exhaustive exact-Jaccard set and
+    never computes signatures), bands r=1 b={N_MINHASH}, band buckets capped at
     {MAX_MINHASH_BUCKET} docs (a k-doc bucket is k^2 candidates — the cap
     bounds the worst bucket at corpus scale; it does not bind at this sf),
     candidates verified with exact Jaccard. Oracle = exhaustive exact

@@ -338,15 +338,19 @@ class ParquetStateSink(TranscriptSink):
             )
 
         tprev = time.monotonic()
+        # quarantine append runs CONCURRENTLY with the delta write +
+        # compaction (guide §2.6 — independent outputs, and neither job
+        # alone keeps every core busy through its tail): the thread is
+        # joined BEFORE the manifest commit, so a quarantine failure still
+        # fails the epoch atomically — AND joined in the finally, so a
+        # delta-write/compaction failure cannot release the writer lock
+        # while the quarantine job is still in flight (a retry would
+        # otherwise race its dynamic-partition overwrite of the same
+        # epoch partition). InheritableThread propagates the JVM-thread-
+        # local job group/description correctly.
+        quar_err: list[BaseException] = []
+        quar_thread = None
         try:
-            # quarantine append runs CONCURRENTLY with the delta write +
-            # compaction (guide §2.6 — independent outputs, and neither job
-            # alone keeps every core busy through its tail): the thread is
-            # joined BEFORE the manifest commit, so a quarantine failure
-            # still fails the epoch atomically. InheritableThread propagates
-            # the JVM-thread-local job group/description correctly.
-            quar_err: list[BaseException] = []
-            quar_thread = None
             if quarantine is not None:
                 from pyspark import InheritableThread
 
@@ -482,6 +486,12 @@ class ParquetStateSink(TranscriptSink):
             return {"skipped": False, "epoch": epoch_id, "snapshot_id": snapshot_id,
                     "buckets": touched}
         finally:
+            # never leave the quarantine job running past the writer lock:
+            # on failure paths the success-path join above was not reached
+            # (the primary exception propagates; the thread's own error, if
+            # any, was already captured and is secondary)
+            if quar_thread is not None and quar_thread.is_alive():
+                quar_thread.join()
             batch.unpersist()
 
     def _write_lineage(self, rows: list[tuple], snapshot_id: str, epoch_id: int) -> None:

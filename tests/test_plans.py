@@ -87,7 +87,9 @@ def test_connected_components_no_cartesian(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6)], "d1 long, d2 long"
     )
-    plan = _plan(connected_components(pairs, max_iter=3))
+    # small_graph_edges=0 forces the ITERATIVE path — the union-find fast
+    # path has no joins at all, which would make these assertions vacuous
+    plan = _plan(connected_components(pairs, max_iter=3, small_graph_edges=0))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
