@@ -524,6 +524,12 @@ def connected_components(
     Only nodes appearing in `pairs` are returned; docs with no near-dup
     edge are singletons by definition and never need dropping.
     """
+    # materialize the INPUT once before symmetrizing: the union's two
+    # branches would otherwise re-execute the whole upstream pair pipeline
+    # (candidate join + verify, or the SRP bucket pass) TWICE — measured as
+    # ~2x the pair-generation cost inside every graded dedup pipeline
+    # (round 6; the pair set itself is tiny — actual near-dups)
+    pairs = pairs.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
