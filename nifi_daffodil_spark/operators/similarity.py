@@ -371,24 +371,41 @@ def _srp_lsh_pairs_thresholded(
             for q in range(n_bits):
                 proj = _fold_dot(u, np.broadcast_to(cmat[q], u.shape))
                 bits[:, q] = (proj >= 0) | np.isnan(proj)
-            ids = rb.column(0)
-            ucol = _list_col(u)
+            keys = []
             for j in range(n_bands):
                 key = np.zeros(len(u), dtype=np.int64)
                 for i in range(rows_per_band):
                     key += bits[:, j * rows_per_band + i] << i
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.full(len(u), j, dtype=np.int64)),
-                        pa.array(key),
-                        ids,
-                        ucol,
-                    ],
-                    names=["band", "key", "vec_id", "u"],
-                )
+                keys.append(pa.array(key))
+            # ONE row per vector across the Python boundary (u once, not
+            # x n_bands); the band explode happens JVM-side below, so the
+            # Arrow transfer is ~n_bands x smaller than emitting exploded
+            # rows here
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), _list_col(u), *keys],
+                names=["vec_id", "u", *[f"k{j}" for j in range(n_bands)]],
+            )
 
-    keyed = df.select("vec_id", "v").mapInArrow(
-        keys_part, schema="band long, key long, vec_id long, u array<double>"
+    key_schema = ", ".join(f"k{j} long" for j in range(n_bands))
+    with_keys = df.select("vec_id", "v").mapInArrow(
+        keys_part, schema=f"vec_id long, u array<double>, {key_schema}"
+    )
+    keyed = with_keys.select(
+        "vec_id",
+        "u",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("band"),
+                        F.col(f"k{j}").alias("key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "vec_id", "u"
     )
 
     _empty = pa.table(
