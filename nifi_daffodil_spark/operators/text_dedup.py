@@ -150,9 +150,21 @@ def _verify_candidates(
     s2 = sets.select(
         F.col("_id").alias("d2"), F.col("_shs").alias("_shs2"), F.col("_sz").alias("_sz2")
     )
+    # size-ratio prefilter (provably lossless): jaccard >= t needs
+    # inter >= t/(1+t) * (sz1+sz2), and inter <= min(sz1, sz2), so any
+    # qualifying pair satisfies min*(1+t) >= t*(sz1+sz2). The 1e-6 slack
+    # makes float rounding strictly ADMISSIVE (a borderline pair is kept
+    # for the exact check below, never dropped), so the output is
+    # unchanged while the expensive array_intersect skips every pair whose
+    # set sizes already rule it out.
+    size_ok = (
+        F.least("_sz1", "_sz2") * F.lit(1.0 + threshold)
+        >= F.lit(threshold) * (F.col("_sz1") + F.col("_sz2")) - F.lit(1e-6)
+    )
     return (
         candidates.join(s1, "d1")
         .join(s2, "d2")
+        .filter(size_ok)
         .withColumn("inter", F.size(F.array_intersect("_shs1", "_shs2")))
         .withColumn(
             "jaccard", F.col("inter") / (F.col("_sz1") + F.col("_sz2") - F.col("inter"))
